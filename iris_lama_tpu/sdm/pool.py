@@ -1,0 +1,237 @@
+"""Patch pool: a device-side open-addressing table mapping patch keys to slots.
+
+TPU-native replacement for the reference's
+``std::unordered_map<uint64_t, COWPtr<Container>>`` (reference:
+include/lama/sdm/map.h:109) plus the ``Container`` dense block
+(include/lama/sdm/container.h:47-162). Instead of pointer-chasing, a map is:
+
+* a fixed-capacity ``PatchTable`` (this module): int32 ``keys``/``slots``
+  arrays probed with bounded linear probing — all lookups are vectorized
+  gathers, all inserts run in a (rare, usually skipped) sequential loop;
+* one or more cell arrays of shape ``[P + 1, L, L]`` owned by the concrete
+  map type (occupancy / distance / TSDF). Slot ``P`` is the *trash* slot:
+  reads from missing patches are redirected there (and masked), writes to
+  missing patches land there harmlessly.
+
+Copy-on-write (cow_ptr.h:43) is unnecessary — functional updates give
+structural sharing for free, and per-particle maps are just a leading batch
+axis (``vmap``/``shard_map``).
+
+Everything is a pure function over a NamedTuple pytree so that ``jit``,
+``vmap`` and donation work.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EMPTY = jnp.int32(-1)
+TOMBSTONE = jnp.int32(-2)
+
+# All entries must be reachable within this probe window; insertion flags
+# overflow instead of exceeding it, so lookups are exact with a fixed-size
+# vectorized probe.
+PROBE_WINDOW = 8
+
+
+class PatchTable(NamedTuple):
+    """Open-addressing hash table + slot free-list. All fields are arrays."""
+
+    keys: jax.Array        # int32[H]; EMPTY / TOMBSTONE / patch key
+    slots: jax.Array       # int32[H]; pool slot for the key
+    free_slots: jax.Array  # int32[P]; stack of free slots
+    n_free: jax.Array      # int32[]; number of entries in free_slots
+    overflow: jax.Array    # int32[]; sticky count of failed inserts
+
+    @property
+    def capacity(self) -> int:
+        return self.free_slots.shape[-1]
+
+    @property
+    def table_size(self) -> int:
+        return self.keys.shape[-1]
+
+    def num_patches(self):
+        """Allocated patch count (reference: map.h:210 ``numOfPatches``)."""
+        return self.free_slots.shape[-1] - self.n_free
+
+
+def table_init(capacity: int, table_factor: int = 4) -> PatchTable:
+    """Create an empty table for ``capacity`` patches.
+
+    ``table_factor * capacity`` (rounded up to a power of two) hash entries
+    keep the load factor low enough that PROBE_WINDOW linear probes always
+    suffice in practice.
+    """
+    h = 1
+    while h < table_factor * capacity:
+        h <<= 1
+    return PatchTable(
+        keys=jnp.full((h,), EMPTY, jnp.int32),
+        slots=jnp.full((h,), EMPTY, jnp.int32),
+        # Stack of free slots; pop order 0, 1, 2, ... for determinism.
+        free_slots=jnp.arange(capacity - 1, -1, -1, dtype=jnp.int32),
+        n_free=jnp.int32(capacity),
+        overflow=jnp.int32(0),
+    )
+
+
+def _hash(keys, table_size: int):
+    """Fibonacci (Knuth) multiplicative hash into [0, table_size)."""
+    h = (keys.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> jnp.uint32(1)
+    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+
+
+def table_lookup(table: PatchTable, keys):
+    """Vectorized lookup. keys int32[...] -> slots int32[...] (-1 = missing).
+
+    Probes PROBE_WINDOW consecutive entries at once; an EMPTY entry before a
+    match means the key is absent (tombstones do not stop the probe).
+    """
+    hsize = table.table_size
+    base = _hash(keys, hsize)
+    offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+    idx = (base[..., None] + offs) % hsize                    # [..., W]
+    probed = table.keys[idx]                                  # [..., W]
+    is_match = probed == keys[..., None]
+    is_empty = probed == EMPTY
+    big = jnp.int32(PROBE_WINDOW)
+    first_match = jnp.min(jnp.where(is_match, offs, big), axis=-1)
+    first_empty = jnp.min(jnp.where(is_empty, offs, big), axis=-1)
+    found = first_match < first_empty
+    slot_idx = (base + jnp.minimum(first_match, big - 1)) % hsize
+    return jnp.where(found, table.slots[slot_idx], EMPTY)
+
+
+def table_insert(table: PatchTable, keys):
+    """Insert unique candidate ``keys`` (int32[K]; negative entries skipped).
+
+    Returns (table, slots int32[K]) where slots are the final locations
+    (existing or freshly allocated; -1 on pool-full/probe overflow, with the
+    sticky ``overflow`` counter bumped).
+
+    The sequential insert loop only runs when at least one key is actually
+    missing (usually a handful of times over a whole SLAM run), guarded by
+    ``lax.cond`` so the common case is a pure vectorized lookup.
+    """
+    keys = jnp.asarray(keys, jnp.int32)
+    pre_slots = table_lookup(table, keys)
+    valid = keys >= 0
+    missing = jnp.logical_and(valid, pre_slots == EMPTY)
+
+    def no_insert(tab):
+        return tab, pre_slots
+
+    def do_insert(tab):
+        hsize = tab.table_size
+        offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+        big = jnp.int32(PROBE_WINDOW)
+
+        # Flat, branch-free loop body (masked commits); sequential because
+        # each insert must see the previous ones' writes.
+        def body(i, carry):
+            tkeys, tslots, free, n_free, ovf, out = carry
+            key = keys[i]
+            base = _hash(key, hsize)
+            idx = (base + offs) % hsize
+            probed = tkeys[idx]
+            is_match = probed == key
+            is_free = jnp.logical_or(probed == EMPTY, probed == TOMBSTONE)
+            first_match = jnp.min(jnp.where(is_match, offs, big))
+            first_free = jnp.min(jnp.where(is_free, offs, big))
+
+            need = jnp.logical_and(key >= 0, out[i] == EMPTY)
+            already = first_match < big
+            pos_match = (base + jnp.minimum(first_match, big - 1)) % hsize
+            slot_existing = tslots[pos_match]
+
+            can_place = need & ~already & (first_free < big) & (n_free > 0)
+            pos_place = (base + jnp.minimum(first_free, big - 1)) % hsize
+            new_slot = free[jnp.maximum(n_free - 1, 0)]
+
+            tkeys = tkeys.at[pos_place].set(
+                jnp.where(can_place, key, tkeys[pos_place]))
+            tslots = tslots.at[pos_place].set(
+                jnp.where(can_place, new_slot, tslots[pos_place]))
+            n_free = jnp.where(can_place, n_free - 1, n_free)
+            failed = need & ~already & ~can_place
+            ovf = ovf + failed.astype(jnp.int32)
+            out_val = jnp.where(need & already, slot_existing,
+                                jnp.where(can_place, new_slot, out[i]))
+            out = out.at[i].set(out_val)
+            return tkeys, tslots, free, n_free, ovf, out
+
+        init = (tab.keys, tab.slots, tab.free_slots, tab.n_free,
+                tab.overflow, pre_slots)
+        tkeys, tslots, free, n_free, ovf, out = jax.lax.fori_loop(
+            0, keys.shape[0], body, init)
+        return PatchTable(tkeys, tslots, free, n_free, ovf), out
+
+    return jax.lax.cond(jnp.any(missing), do_insert, no_insert, table)
+
+
+def table_remove(table: PatchTable, keys):
+    """Remove ``keys`` (int32[K]; negative entries skipped); tombstones the
+    hash entries and returns freed slots (for cell-array clearing).
+
+    reference analogue: map.cpp:465 ``deletePatchAt`` — used by transient
+    maps (src/slam2d.cpp:323-373).
+    """
+    keys = jnp.asarray(keys, jnp.int32)
+    offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+    big = jnp.int32(PROBE_WINDOW)
+
+    def body(i, carry):
+        tkeys, tslots, free, n_free, freed = carry
+        key = keys[i]
+        hsize = tkeys.shape[0]
+        base = _hash(key, hsize)
+        idx = (base + offs) % hsize
+        probed = tkeys[idx]
+        is_match = jnp.logical_and(probed == key, key >= 0)
+        first_match = jnp.min(jnp.where(is_match, offs, big))
+        present = first_match < big
+
+        pos = (base + jnp.minimum(first_match, big - 1)) % hsize
+        slot = tslots[pos]
+        tkeys = tkeys.at[pos].set(jnp.where(present, TOMBSTONE, tkeys[pos]))
+        tslots = tslots.at[pos].set(jnp.where(present, EMPTY, tslots[pos]))
+        push_at = jnp.minimum(n_free, free.shape[0] - 1)
+        free = free.at[push_at].set(jnp.where(present, slot, free[push_at]))
+        n_free = n_free + present.astype(jnp.int32)
+        freed = freed.at[i].set(jnp.where(present, slot, freed[i]))
+        return tkeys, tslots, free, n_free, freed
+
+    freed0 = jnp.full(keys.shape, EMPTY, jnp.int32)
+    init = (table.keys, table.slots, table.free_slots, table.n_free, freed0)
+    tkeys, tslots, free, n_free, freed = jax.lax.fori_loop(
+        0, keys.shape[0], body, init)
+    return table._replace(keys=tkeys, slots=tslots, free_slots=free,
+                          n_free=n_free), freed
+
+
+def active_slot_mask(table: PatchTable):
+    """bool[P]: which pool slots are currently allocated."""
+    p = table.capacity
+    in_free = jnp.zeros((p,), jnp.bool_)
+    order = jnp.arange(p, dtype=jnp.int32)
+    # free_slots[0:n_free] are free
+    is_free_entry = order < table.n_free
+    safe = jnp.where(is_free_entry, table.free_slots, 0)
+    in_free = in_free.at[safe].max(is_free_entry)
+    return jnp.logical_not(in_free)
+
+
+def active_keys(table: PatchTable):
+    """(keys int32[P], mask bool[P]): patch key for every allocated slot."""
+    p = table.capacity
+    slot_keys = jnp.full((p,), EMPTY, jnp.int32)
+    valid_entry = table.slots >= 0
+    safe_slot = jnp.where(valid_entry, table.slots, 0)
+    contrib = jnp.where(valid_entry, table.keys, EMPTY)
+    slot_keys = slot_keys.at[safe_slot].max(contrib)
+    mask = active_slot_mask(table)
+    return jnp.where(mask, slot_keys, EMPTY), mask

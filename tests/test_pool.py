@@ -1,0 +1,155 @@
+"""Tests for the patch-pool hash table and coordinate algebra.
+
+Oracle: a plain Python dict and float64 numpy formulas mirroring
+reference map.h:125-198 semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iris_lama_tpu.sdm import pool
+from iris_lama_tpu.sdm.geometry import MapGeometry
+
+rng = np.random.default_rng(42)
+
+
+def test_w2m_round_half_up():
+    geo = MapGeometry(resolution=0.05, log2dim=5)
+    world = np.array([[0.0, 0.0], [0.024, 0.026], [-0.024, -0.026],
+                      [1.0, -1.0]], np.float32)
+    cells = np.asarray(geo.w2m(world))
+    off = geo.cell_offset
+    expect = np.array([[0, 0], [0, 1], [0, -1], [20, -20]]) + off
+    np.testing.assert_array_equal(cells, expect)
+
+
+def test_m2w_inverse():
+    geo = MapGeometry(resolution=0.05, log2dim=5)
+    world = rng.uniform(-50, 50, (256, 2)).astype(np.float32)
+    cells = geo.w2m(world)
+    back = np.asarray(geo.m2w(cells))
+    # cell centers within half a resolution of the input
+    np.testing.assert_allclose(back, world, atol=0.5 * geo.resolution + 1e-4)
+
+
+def test_w2m_frac_consistency():
+    geo = MapGeometry(resolution=0.05, log2dim=5)
+    world = rng.uniform(-30, 30, (128, 2)).astype(np.float32)
+    mi, frac = geo.w2m_frac(world)
+    mi, frac = np.asarray(mi), np.asarray(frac)
+    assert np.all(frac >= 0) and np.all(frac < 1)
+    # floor + frac reproduces world * scale + offset
+    recon = (mi - geo.cell_offset + frac) * geo.resolution
+    np.testing.assert_allclose(recon, world, atol=1e-3)
+
+
+def test_patch_key_roundtrip():
+    geo = MapGeometry(resolution=0.05, log2dim=5)
+    world = rng.uniform(-100, 100, (512, 2)).astype(np.float32)
+    cells = geo.w2m(world)
+    keys = geo.m2p(cells)
+    anchors = np.asarray(geo.p2anchor(keys))
+    cells_np = np.asarray(cells)
+    # anchor is the patch-aligned floor of the cell coords
+    np.testing.assert_array_equal(anchors, (cells_np >> 5) << 5)
+    local = np.asarray(geo.m2local(cells))
+    np.testing.assert_array_equal(anchors + local, cells_np)
+
+
+def test_table_insert_lookup_roundtrip():
+    table = pool.table_init(capacity=64)
+    keys = np.unique(rng.integers(0, 1 << 30, 40).astype(np.int32))
+    k = jnp.asarray(keys)
+    table, slots = jax.jit(pool.table_insert)(table, k)
+    slots = np.asarray(slots)
+    assert np.all(slots >= 0)
+    assert len(np.unique(slots)) == len(keys)
+    assert int(table.overflow) == 0
+
+    found = np.asarray(pool.table_lookup(table, k))
+    np.testing.assert_array_equal(found, slots)
+
+    # absent keys return -1
+    absent = jnp.asarray(np.array([7, 9, 11], np.int32) + (1 << 30))
+    np.testing.assert_array_equal(np.asarray(pool.table_lookup(table, absent)),
+                                  -1)
+
+
+def test_table_insert_idempotent():
+    table = pool.table_init(capacity=32)
+    k = jnp.asarray(np.array([5, 10, 15], np.int32))
+    table, s1 = pool.table_insert(table, k)
+    table, s2 = pool.table_insert(table, k)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert int(table.num_patches()) == 3
+
+
+def test_table_insert_skips_padding():
+    table = pool.table_init(capacity=8)
+    k = jnp.asarray(np.array([3, -1, 4, -1], np.int32))
+    table, slots = pool.table_insert(table, k)
+    slots = np.asarray(slots)
+    assert slots[0] >= 0 and slots[2] >= 0
+    assert slots[1] == -1 and slots[3] == -1
+    assert int(table.num_patches()) == 2
+
+
+def test_table_pool_full_overflow():
+    table = pool.table_init(capacity=4)
+    k = jnp.asarray(np.arange(6, dtype=np.int32) * 97 + 1)
+    table, slots = pool.table_insert(table, k)
+    slots = np.asarray(slots)
+    assert np.sum(slots >= 0) == 4
+    assert int(table.overflow) == 2
+
+
+def test_table_remove_and_reinsert():
+    table = pool.table_init(capacity=16)
+    k = jnp.asarray(np.array([100, 200, 300], np.int32))
+    table, slots0 = pool.table_insert(table, k)
+    table, freed = pool.table_remove(table, jnp.asarray([200], dtype=jnp.int32))
+    assert int(freed[0]) == int(np.asarray(slots0)[1])
+    assert int(pool.table_lookup(table, jnp.asarray([200], dtype=jnp.int32))[0]) == -1
+    # 100 and 300 still found
+    s = np.asarray(pool.table_lookup(table, jnp.asarray([100, 300], dtype=jnp.int32)))
+    assert np.all(s >= 0)
+    # reinsert gets the freed slot back
+    table, s200 = pool.table_insert(table, jnp.asarray([200], dtype=jnp.int32))
+    assert int(s200[0]) == int(freed[0])
+    assert int(table.num_patches()) == 3
+
+
+def test_active_slot_mask_and_keys():
+    table = pool.table_init(capacity=8)
+    k = jnp.asarray(np.array([11, 22, 33], np.int32))
+    table, slots = pool.table_insert(table, k)
+    mask = np.asarray(pool.active_slot_mask(table))
+    assert mask.sum() == 3
+    keys, kmask = pool.active_keys(table)
+    keys, kmask = np.asarray(keys), np.asarray(kmask)
+    assert set(keys[kmask]) == {11, 22, 33}
+
+
+def test_randomized_against_dict_oracle():
+    cap = 256
+    table = pool.table_init(capacity=cap)
+    oracle = {}
+    insert = jax.jit(pool.table_insert)
+    for _ in range(10):
+        batch = np.unique(rng.integers(0, 200, 24)).astype(np.int32)
+        table, slots = insert(table, jnp.asarray(batch))
+        slots = np.asarray(slots)
+        for key, slot in zip(batch, slots):
+            if key in oracle:
+                assert oracle[key] == slot
+            else:
+                assert slot >= 0
+                oracle[key] = slot
+    assert int(table.num_patches()) == len(oracle)
+    # final lookup of every key matches
+    all_keys = np.array(sorted(oracle), np.int32)
+    got = np.asarray(pool.table_lookup(table, jnp.asarray(all_keys)))
+    expect = np.array([oracle[k] for k in sorted(oracle)])
+    np.testing.assert_array_equal(got, expect)
