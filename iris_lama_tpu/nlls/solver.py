@@ -1,0 +1,203 @@
+"""Nonlinear least squares: Gauss-Newton / Levenberg-Marquardt IRLS on device.
+
+reference:
+* solver loop — src/nlls/solver.cpp:53-118 (eval -> sqrt-weight rows ->
+  strategy step -> tentative update -> revert on invalid);
+* GaussNewton — src/nlls/gauss_newton.cpp:53-91 (normal equations via LDLT,
+  stop on ||J'r||_inf < eps1 or ||h||_inf < eps2, step valid iff chi^2 drops,
+  invalid => stop);
+* LevenbergMarquard — src/nlls/levenberg_marquardt.cpp:57-120 (damped normal
+  equations, Nielsen mu/nu trust updates, invalid => retry with larger mu
+  without re-evaluating the problem);
+* covariance — src/nlls/solver.cpp:133-151 (QR rank check, SVD fallback).
+
+TPU shape: the whole IRLS loop is a single ``lax.while_loop`` carrying the
+SE(2)-manifold state; residual/Jacobian evaluation is a caller-provided pure
+function (the scan-match kernel); the 3x3 normal-equation solve is closed
+form. ``vmap`` over the carry batches particles/hypotheses — a vmapped
+while_loop runs until every lane converges, with converged lanes masked.
+
+Generic over the parameter dimension via the problem functions, but tuned
+for the dim-3 SE(2) case every LaMa algorithm uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .robust import RobustCost, UNIT
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """reference: nlls/solver.h:52-66 Solver::Options."""
+
+    max_iterations: int = 100
+    strategy: str = "gn"          # "gn" | "lm" (slam2d.h:114)
+    robust: RobustCost = UNIT
+    eps1: float = 1e-4            # gauss_newton.cpp:40, levenberg_marquardt.cpp:41
+    eps2: float = 1e-4
+    tau: float = 1e-4             # LM only (levenberg_marquardt.cpp:43)
+
+
+class SolveResult(NamedTuple):
+    state: jax.Array       # final SE(2) state [4]
+    iterations: jax.Array  # int32
+    chi2: jax.Array        # final weighted chi^2
+    r: jax.Array           # last weighted residuals [B]
+    J: jax.Array           # last weighted Jacobian [B, 3]
+
+
+def _weighted(eval_fn, robust: RobustCost, state):
+    r, J = eval_fn(state)
+    w = jnp.sqrt(robust.weight(r))
+    return r * w, J * w[:, None]
+
+
+def _solve3(A, g):
+    """Solve A h = -g for 3x3 SPD A via adjugate (closed form, VPU-only)."""
+    a, b, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 1], A[1, 2], A[2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    h0 = -(co00 * g[0] + co01 * g[1] + co02 * g[2]) * inv_det
+    h1 = -(co01 * g[0] + co11 * g[1] + co12 * g[2]) * inv_det
+    h2 = -(co02 * g[0] + co12 * g[1] + co22 * g[2]) * inv_det
+    return jnp.stack([h0, h1, h2])
+
+
+def solve(eval_fn: Callable, update_fn: Callable, state0,
+          opts: SolverOptions) -> SolveResult:
+    """Run the IRLS loop.
+
+    Args:
+      eval_fn: state -> (r [B], J [B, 3]) — unweighted residuals/Jacobian.
+      update_fn: (state, h [3]) -> state — manifold update
+        (MatchSurface2D::update applies exp(h) * state,
+        src/match_surface_2d.cpp:118-122).
+      state0: initial state (any pytree accepted by eval/update; [4] SE(2)).
+      opts: solver options.
+    """
+    robust = opts.robust
+    is_lm = opts.strategy == "lm"
+
+    r0, J0 = _weighted(eval_fn, robust, state0)
+
+    class Carry(NamedTuple):
+        state: jax.Array
+        r: jax.Array
+        J: jax.Array
+        chi2: jax.Array      # chi2 of (state, r, J) — strategy's chi2_
+        mu: jax.Array        # LM damping (-1 = uninitialized)
+        v: jax.Array         # LM nu
+        stop: jax.Array
+        valid: jax.Array     # last step accepted -> re-eval next iteration
+        it: jax.Array
+
+    carry0 = Carry(
+        state=state0, r=r0, J=J0,
+        chi2=jnp.sum(r0 * r0),
+        mu=jnp.float32(-1.0), v=jnp.float32(2.0),
+        stop=jnp.bool_(False), valid=jnp.bool_(True),
+        it=jnp.int32(0),
+    )
+
+    def cond(c: Carry):
+        return jnp.logical_and(~c.stop, c.it < opts.max_iterations)
+
+    def body(c: Carry):
+        # 1-2. (re-)evaluate + weight only if the previous step was valid
+        #      (solver.cpp:57-66; LM retries reuse cached r/J)
+        r, J = jax.lax.cond(
+            c.valid,
+            lambda s: _weighted(eval_fn, robust, s),
+            lambda s: (c.r, c.J),
+            c.state)
+        chi2 = jnp.sum(r * r)
+
+        # 3. strategy step (gauss_newton.cpp:53-73 / levenberg_marquardt.cpp:57-103)
+        g = J.T @ r
+        stop_g = jnp.max(jnp.abs(g)) < opts.eps1
+        A = J.T @ J
+        if is_lm:
+            diag_max = jnp.max(jnp.diag(A))
+            mu = jnp.where(c.mu < 0, opts.tau * diag_max, c.mu)
+            A = A + mu * jnp.eye(3, dtype=A.dtype)
+        else:
+            mu = c.mu
+        h = _solve3(A, g)
+        h = jnp.where(stop_g, jnp.zeros_like(h), h)
+        stop_h = jnp.max(jnp.abs(h)) < opts.eps2
+        stop_now = jnp.logical_or(stop_g, stop_h)
+
+        # solver.cpp:81-83 — convergence before applying the step
+        def converged(_):
+            return Carry(c.state, r, J, chi2, mu, c.v,
+                         jnp.bool_(True), jnp.bool_(True), c.it)
+
+        def take_step(_):
+            # 4. tentative update + validity check (solver.cpp:86-103)
+            new_state = update_fn(c.state, h)
+            ur, _ = eval_fn(new_state)
+            uw = jnp.sqrt(robust.weight(ur))
+            ur = ur * uw
+            new_chi2 = jnp.sum(ur * ur)
+            dF = chi2 - new_chi2
+            if is_lm:
+                dL = 0.5 * jnp.dot(h, mu * h - g)
+                ok = jnp.logical_and(dL > 0.0, dF > 0.0)
+                ratio = jnp.where(dL > 0, dF / dL, 0.0)
+                mu_ok = mu * jnp.maximum(1.0 / 3.0,
+                                         1.0 - (2.0 * ratio - 1.0) ** 3)
+                new_mu = jnp.where(ok, mu_ok, mu * c.v)
+                new_v = jnp.where(ok, 2.0, 2.0 * c.v)
+                stop_after = jnp.bool_(False)   # LM keeps trying (lm.cpp:104-120)
+            else:
+                ok = dF > 0.0
+                new_mu, new_v = mu, c.v
+                stop_after = ~ok                # GN: invalid => stop (gn.cpp:75-87)
+            state = jnp.where(ok, new_state, c.state)
+            return Carry(state, r, J, chi2, new_mu, new_v,
+                         stop_after, ok, c.it + 1)
+
+        return jax.lax.cond(stop_now, converged, take_step, None)
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    return SolveResult(state=final.state, iterations=final.it,
+                       chi2=final.chi2, r=final.r, J=final.J)
+
+
+def covariance(eval_fn, robust: RobustCost, state):
+    """Parameter covariance at ``state`` (solver.cpp:122-151).
+
+    QR-rank-checked inverse of J'J with the reference's SVD fallback
+    (tolerance 1e-3; out-of-tolerance singular values mapped to 3.0 —
+    solver.cpp:143-149 verbatim).
+    """
+    r, J = eval_fn(state)
+    w = jnp.sqrt(robust.weight(r))
+    J = J * w[:, None]
+    A = J.T @ J
+
+    # Rank check via SVD of J (ColPivQR rank equivalent).
+    sv = jnp.linalg.svd(J, compute_uv=False)
+    full_rank = sv[-1] > 1e-6 * jnp.maximum(sv[0], 1e-30)
+
+    inv = jnp.linalg.inv(A)
+
+    _, s, vt = jnp.linalg.svd(J, full_matrices=False)
+    eps = 1e-3
+    s_inv2 = jnp.where(jnp.abs(s) > eps, 1.0 / (s * s), 3.0)
+    pinv = (vt.T * s_inv2[None, :]) @ vt
+
+    return jnp.where(full_rank, inv, pinv)

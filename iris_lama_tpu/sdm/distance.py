@@ -1,0 +1,187 @@
+"""Dynamic Euclidean distance field, TPU-style.
+
+reference: include/lama/sdm/dynamic_distance_map.h:47-52 and
+src/sdm/dynamic_distance_map.cpp — the Lau/Sprunk/Burgard incremental
+distance transform driven by raise/lower priority queues, plus bilinear
+interpolation with analytic gradient (dynamic_distance_map.cpp:66-138).
+
+The sequential two-queue wavefront is hostile to SIMD, so the TPU build
+replaces it with an *exact dense recompute over the active window*:
+
+* ``edt2d`` — exact squared Euclidean distance transform of an obstacle mask,
+  computed as (1) a 1D vertical distance via log-doubling min-plus erosion and
+  (2) the exact row lower-envelope min over dx in [-R, R]. Both passes are
+  pure elementwise/shift ops on a dense grid — ideal VPU work. Capped at
+  ``max_sqdist`` exactly like the reference (cells with no obstacle within
+  range keep distance sqrt(max_sqdist)*resolution,
+  dynamic_distance_map.cpp:140-147).
+* obstacle add/remove becomes "rebuild the mask, recompute the window":
+  removal needs no raise wavefront because nothing is incremental.
+
+The persistent store keeps only ``dist`` (f32 meters) and ``obstacle``
+per cell; sqdist/offset/valid are transient inside the window recompute.
+
+Interpolation (`interp_*`) reproduces the reference formulas bit-for-bit in
+structure: floor-discretized coords, 4-cell bilinear value and gradient
+scaled by -scale (dynamic_distance_map.cpp:66-93).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .geometry import MapGeometry
+from . import pool as pool_mod
+
+_BIG = jnp.int32(1 << 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistanceConfig:
+    """Static parameters of a distance map (hashable jit static)."""
+
+    geometry: MapGeometry = MapGeometry()
+    l2_max: float = 0.5   # meters (setMaxDistance, dynamic_distance_map.cpp:149)
+
+    @property
+    def max_sqdist(self) -> int:
+        # reference: max_sqdist = ceil(distance * scale)^2 (.cpp:151-153)
+        r = math.ceil(self.l2_max * self.geometry.scale)
+        return r * r
+
+    @property
+    def radius_cells(self) -> int:
+        return math.ceil(self.l2_max * self.geometry.scale)
+
+    @property
+    def max_dist(self) -> float:
+        # distance() for invalid cells: sqrt(max_sqdist) * resolution (.cpp:143)
+        return math.sqrt(self.max_sqdist) * self.geometry.resolution
+
+
+def edt2d(obstacle, max_sqdist: int, radius: int):
+    """Exact capped squared EDT of a bool grid [H, W] (indexed [y, x]).
+
+    Returns int32[H, W] sqdist, clipped to ``max_sqdist``.
+    """
+    # --- vertical pass: g[y, x] = min |dy| with obstacle[(y+dy), x] ---------
+    g = jnp.where(obstacle, jnp.int32(0), _BIG)
+    shift = 1
+    while shift <= radius:
+        up = jnp.concatenate([g[shift:], jnp.full((shift, g.shape[1]), _BIG,
+                                                  jnp.int32)], axis=0)
+        down = jnp.concatenate([jnp.full((shift, g.shape[1]), _BIG, jnp.int32),
+                                g[:-shift]], axis=0)
+        g = jnp.minimum(g, jnp.minimum(up + shift, down + shift))
+        shift <<= 1
+    g = jnp.minimum(g, radius + 1)
+
+    # --- horizontal pass: d2 = min_dx dx^2 + g[y, x+dx]^2 -------------------
+    g2 = g * g
+    d2 = g2
+    cap = jnp.int32(max_sqdist)
+    for dx in range(1, radius + 1):
+        left = jnp.concatenate([g2[:, dx:], jnp.full((g.shape[0], dx), cap,
+                                                     jnp.int32)], axis=1)
+        right = jnp.concatenate([jnp.full((g.shape[0], dx), cap, jnp.int32),
+                                 g2[:, :-dx]], axis=1)
+        d2 = jnp.minimum(d2, jnp.minimum(left, right) + dx * dx)
+    return jnp.minimum(d2, cap)
+
+
+def sqdist_to_meters(d2, cfg: DistanceConfig):
+    return jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(cfg.geometry.resolution)
+
+
+# ---------------------------------------------------------------------------
+# Interpolated distance + gradient (dynamic_distance_map.cpp:66-93)
+# ---------------------------------------------------------------------------
+
+def _bilinear(v00, v10, v01, v11, mu, scale):
+    """The reference's 2D interpolation + analytic gradient.
+
+    v10 is the (+1, 0) neighbor, v01 the (0, +1) neighbor.
+    """
+    mux, muy = mu[..., 0], mu[..., 1]
+    mix, miy = 1.0 - mux, 1.0 - muy
+    dist = (v00 * mix * miy + v10 * miy * mux +
+            v01 * mix * muy + v11 * mux * muy)
+    gx = -((v00 - v10) * miy + (v01 - v11) * muy) * scale
+    gy = -((v00 - v01) * mix + (v10 - v11) * mux) * scale
+    return dist, jnp.stack([gx, gy], axis=-1)
+
+
+def interp_window(grid, org_cell, geo: MapGeometry, world_xy, max_dist):
+    """Interpolated distance+gradient from a dense window grid [H, W] ([y,x]).
+
+    Cells outside the window read ``max_dist`` (same as unallocated patches
+    in the reference, dynamic_distance_map.cpp:140-143).
+    """
+    mi, mu = geo.w2m_frac(world_xy)                  # int cell (x, y), frac
+    loc = mi - jnp.asarray(org_cell, jnp.int32)      # [..., 2] (lx, ly)
+    h, w = grid.shape
+
+    def read(dx, dy):
+        lx = loc[..., 0] + dx
+        ly = loc[..., 1] + dy
+        ok = (lx >= 0) & (lx < w) & (ly >= 0) & (ly < h)
+        val = grid[jnp.clip(ly, 0, h - 1), jnp.clip(lx, 0, w - 1)]
+        return jnp.where(ok, val, jnp.float32(max_dist))
+
+    v00, v10, v01, v11 = read(0, 0), read(1, 0), read(0, 1), read(1, 1)
+    return _bilinear(v00, v10, v01, v11, mu, jnp.float32(geo.scale))
+
+
+def interp_pool(table, dist, geo: MapGeometry, world_xy, max_dist):
+    """Interpolated distance+gradient straight from the patch pool.
+
+    Used where no dense window exists (global localization hypotheses spread
+    over the whole map, reference src/loc2d.cpp:249-286).
+    """
+    mi, mu = geo.w2m_frac(world_xy)
+
+    def read(dx, dy):
+        cells = mi + jnp.array([dx, dy], jnp.int32)
+        return cell_distance(table, dist, geo, cells, max_dist)
+
+    v00, v10, v01, v11 = read(0, 0), read(1, 0), read(0, 1), read(1, 1)
+    return _bilinear(v00, v10, v01, v11, mu, jnp.float32(geo.scale))
+
+
+def cell_distance(table, dist, geo: MapGeometry, cells, max_dist):
+    """Nearest-cell distance lookup (reference dynamic_distance_map.cpp:140).
+
+    cells int32[..., 2] -> f32[...]. Missing patches read ``max_dist``.
+    """
+    keys = geo.m2p(cells)
+    slots = pool_mod.table_lookup(table, keys)
+    local = geo.m2local(cells)
+    safe = jnp.where(slots >= 0, slots, dist.shape[0] - 1)
+    val = dist[safe, local[..., 1], local[..., 0]]
+    return jnp.where(slots >= 0, val, jnp.float32(max_dist))
+
+
+class DistanceMapState(NamedTuple):
+    """Standalone dynamic distance map (pool-backed).
+
+    Used by Loc2D where maps are loaded rather than built (loc2d.h:103-104);
+    Slam2D/PFSlam2D use the fused mapping state instead (sdm/mapping.py).
+    """
+
+    table: pool_mod.PatchTable
+    obstacle: jnp.ndarray   # bool[P+1, L, L]
+    dist: jnp.ndarray       # f32[P+1, L, L] (meters)
+
+
+def distance_map_init(cfg: DistanceConfig, capacity: int) -> DistanceMapState:
+    length = cfg.geometry.patch_length
+    return DistanceMapState(
+        table=pool_mod.table_init(capacity),
+        obstacle=jnp.zeros((capacity + 1, length, length), jnp.bool_),
+        dist=jnp.full((capacity + 1, length, length), cfg.max_dist,
+                      jnp.float32),
+    )

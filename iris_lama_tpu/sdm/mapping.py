@@ -1,0 +1,259 @@
+"""Fused SLAM map: frequency occupancy + obstacle mask + distance field.
+
+This is the TPU-native equivalent of the (occupancy map, dynamic distance
+map) pair every LaMa SLAM algorithm maintains (reference:
+src/slam2d.cpp:247-321 ``updateMaps``, src/pf_slam2d.cpp:439-509
+``updateParticleMaps``). One patch table is shared by all cell arrays, so the
+occupancy-driven obstacle mask and the distance field are slot-aligned and
+no cross-map hash lookups are ever needed.
+
+Per-scan update, all inside one jit (and vmap-able over particles):
+
+1. beam endpoints + truncation (slam2d.cpp:267-300 semantics, incl. 3D norms)
+2. closed-form raycast (sdm/raycast.py)
+3. scatter hit/visit counts into a dense pose-centered window
+4. frequency-map end-state update: occupied/visited += counts; the obstacle
+   mask is re-derived as ``4*occ > vis`` (exactly LaMa's prob > 0.25 test,
+   frequency_occupancy_map.cpp:38-44, in integer form) — order-independent,
+   so no sequential per-beam transitions are needed
+5. exact windowed EDT recompute of the distance field (sdm/distance.py),
+   replacing the raise/lower wavefronts (dynamic_distance_map.cpp:160-331)
+6. patch-blocked writeback; brand-new patches are allocated in the shared
+   table only where content appeared (counts, or distance < max within the
+   safe interior) — mirroring the reference's allocate-on-write ``get()``
+   plus wavefront-reach allocation.
+
+Geometric safety argument for the windowed recompute: obstacle changes are
+confined to cells within ``max_range + pose_slack`` of the window center;
+every cell whose distance can change is within ``R`` (= l2_max in cells) of
+a changed cell; the window half-width is ``>= (max_range + pose_slack)/res +
+R + L``, so all affected cells lie in the interior region [R, W-R) that we
+write back, and every relevant obstacle for those cells is inside the
+window. Cells outside keep their stored values, which remain exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from . import pool as pool_mod
+from . import window as win_mod
+from .distance import DistanceConfig, edt2d
+from .geometry import MapGeometry
+from .raycast import ray_cells
+
+OCC_DTYPE = jnp.uint16   # reference cell: {uint16 occupied, uint16 visited}
+                          # (frequency_occupancy_map.h frequency struct)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Static per-map parameters shared by Slam2D / PFSlam2D.
+
+    Mirrors the map-related fields of Slam2D::Options (slam2d.h:91-125) /
+    PFSlam2D::Options (pf_slam2d.h:132-185).
+    """
+
+    geometry: MapGeometry = MapGeometry()
+    l2_max: float = 0.5
+    truncated_ray: float = 0.0
+    truncated_range: float = 0.0
+    max_range: float = 10.0     # beams beyond this are dropped by the driver
+    pose_slack: float = 2.0     # window margin for match-vs-predict motion
+    capacity: int = 4096        # patch pool capacity
+
+    @property
+    def distance(self) -> DistanceConfig:
+        return DistanceConfig(self.geometry, self.l2_max)
+
+    @property
+    def window_patches(self) -> int:
+        """Window side in patches (see module docstring margin argument)."""
+        geo = self.geometry
+        half_cells = ((self.max_range + self.pose_slack) * geo.scale
+                      + self.distance.radius_cells)
+        half_patches = int(math.ceil(half_cells / geo.patch_length)) + 1
+        return 2 * half_patches
+
+    @property
+    def window_cells(self) -> int:
+        return self.window_patches * self.geometry.patch_length
+
+    @property
+    def ray_steps(self) -> int:
+        """Static per-beam cell budget for the raycast."""
+        reach = self.max_range
+        if self.truncated_range > 0.0:
+            reach = min(reach, self.truncated_range)
+        if self.truncated_ray > 0.0:
+            reach = min(reach, self.truncated_ray)
+        # diagonal rays advance max-coordinate by ~range/res
+        return int(math.ceil(reach * self.geometry.scale)) + 2
+
+
+class SlamMapState(NamedTuple):
+    """Shared-table fused map (see module docstring)."""
+
+    table: pool_mod.PatchTable
+    occupied: jax.Array   # u16[P+1, L, L]
+    visited: jax.Array    # u16[P+1, L, L]
+    obstacle: jax.Array   # bool[P+1, L, L]
+    dist: jax.Array       # f32[P+1, L, L] meters
+
+
+def slam_map_init(cfg: MappingConfig) -> SlamMapState:
+    length = cfg.geometry.patch_length
+    p1 = cfg.capacity + 1
+    return SlamMapState(
+        table=pool_mod.table_init(cfg.capacity),
+        occupied=jnp.zeros((p1, length, length), OCC_DTYPE),
+        visited=jnp.zeros((p1, length, length), OCC_DTYPE),
+        obstacle=jnp.zeros((p1, length, length), jnp.bool_),
+        dist=jnp.full((p1, length, length), cfg.distance.max_dist, jnp.float32),
+    )
+
+
+class ScanGeometry(NamedTuple):
+    """Per-beam world-space geometry after truncation (slam2d.cpp:267-300)."""
+
+    start_xy: jax.Array   # f32[B, 2] per-beam ray start (world)
+    hit_xy: jax.Array     # f32[B, 2] per-beam endpoint (world)
+    mark_hit: jax.Array   # bool[B] — mark an obstacle at the endpoint?
+    valid: jax.Array      # bool[B]
+
+
+def beam_geometry(cfg: MappingConfig, pose, points, mask,
+                  origin) -> ScanGeometry:
+    """Transform + truncate beams.
+
+    pose: SE(2) [4]; points: f32[B, 3] sensor-frame-applied cloud (the
+    reference's ``moving_tf * p``, slam2d.cpp:249-258); origin: f32[3] sensor
+    origin in the base frame. Norms are 3D like the reference's.
+    """
+    hit_xy = lie.se2_apply(pose, points[:, :2])
+    hit_z = points[:, 2]
+    start_xy = jnp.broadcast_to(lie.se2_apply(pose, origin[:2]), hit_xy.shape)
+    start_z = jnp.broadcast_to(origin[2], hit_z.shape)
+
+    ab_xy = hit_xy - start_xy
+    ab_z = hit_z - start_z
+    ray_len = jnp.sqrt(jnp.sum(ab_xy * ab_xy, -1) + ab_z * ab_z)
+    safe_len = jnp.maximum(ray_len, 1e-12)
+
+    mark_hit = mask
+    if cfg.truncated_range > 0.0:
+        over = ray_len > cfg.truncated_range
+        scalef = jnp.where(over, cfg.truncated_range / safe_len, 1.0)
+        hit_xy = start_xy + ab_xy * scalef[:, None]
+        mark_hit = jnp.logical_and(mark_hit, ~over)
+        # (hit_z changes too but only xy is rasterized in 2D)
+    if cfg.truncated_ray > 0.0:
+        over = jnp.logical_and(mark_hit, ray_len > cfg.truncated_ray)
+        scalef = jnp.where(over, cfg.truncated_ray / safe_len, 0.0)
+        start_xy = jnp.where(over[:, None],
+                             hit_xy - ab_xy * scalef[:, None], start_xy)
+    return ScanGeometry(start_xy, hit_xy, mark_hit, mask)
+
+
+def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
+                points, mask, origin, org_cell=None):
+    """Apply one scan to the map. Returns (new_state, info dict).
+
+    ``org_cell``: optional precomputed window origin (reused from the scan
+    matcher so the matcher's gather and this writeback share one window).
+    """
+    geo = cfg.geometry
+    length = geo.patch_length
+    wp = cfg.window_patches
+    w = cfg.window_cells
+    dcfg = cfg.distance
+    radius = dcfg.radius_cells
+
+    if org_cell is None:
+        org_cell = win_mod.window_org(geo, geo.w2m(pose[:2]), wp)
+    keys = win_mod.window_patch_keys(geo, org_cell, wp)
+
+    # ---- beams -> cells ----------------------------------------------------
+    g = beam_geometry(cfg, pose, points, mask, origin)
+    mhit = geo.w2m(g.hit_xy)                    # [B, 2]
+    mstart = geo.w2m(g.start_xy)
+    free_cells, free_mask = ray_cells(mstart, mhit, cfg.ray_steps)
+    free_mask = jnp.logical_and(free_mask, g.valid[:, None])
+
+    # window-local coords ([x, y] cell -> grid row y, col x)
+    hit_loc = mhit - org_cell
+    free_loc = free_cells - org_cell
+
+    def in_win(loc):
+        return ((loc[..., 0] >= 0) & (loc[..., 0] < w) &
+                (loc[..., 1] >= 0) & (loc[..., 1] < w))
+
+    hit_ok = jnp.logical_and(jnp.logical_and(g.valid, g.mark_hit),
+                             in_win(hit_loc))
+    free_ok = jnp.logical_and(free_mask, in_win(free_loc))
+
+    # ---- scatter counts into the dense window ------------------------------
+    def scatter_counts(loc, ok):
+        grid = jnp.zeros((w, w), jnp.int32)
+        ly = jnp.clip(loc[..., 1], 0, w - 1).reshape(-1)
+        lx = jnp.clip(loc[..., 0], 0, w - 1).reshape(-1)
+        return grid.at[ly, lx].add(ok.reshape(-1).astype(jnp.int32))
+
+    occ_add = scatter_counts(hit_loc, hit_ok)
+    vis_add = occ_add + scatter_counts(free_loc, free_ok)
+
+    # ---- frequency end-state + obstacle mask -------------------------------
+    occ_w, slots = win_mod.gather_window(state.table, state.occupied, keys, 0)
+    vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0)
+    occ_new = jnp.minimum(occ_w.astype(jnp.int32) + occ_add, 65535)
+    vis_new = jnp.minimum(vis_w.astype(jnp.int32) + vis_add, 65535)
+    # prob > 0.25  <=>  4*occ > vis (frequency_occupancy_map.cpp:40-44)
+    obst_new = (4 * occ_new) > vis_new
+
+    # ---- exact windowed EDT ------------------------------------------------
+    d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
+    dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
+
+    dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                        dcfg.max_dist)
+    yy = jnp.arange(w)[:, None]
+    xx = jnp.arange(w)[None, :]
+    interior = ((yy >= radius) & (yy < w - radius) &
+                (xx >= radius) & (xx < w - radius))
+    dist_merged = jnp.where(interior, dist_new, dist_old)
+
+    obst_old, _ = win_mod.gather_window(state.table, state.obstacle, keys,
+                                        False)
+    obst_merged = jnp.where(interior, obst_new, obst_old)
+
+    # ---- allocate patches that gained content ------------------------------
+    content = ((occ_add + vis_add) > 0) | (interior & (d2 < dcfg.max_sqdist))
+    content_patch = jnp.any(
+        content.reshape(wp, length, wp, length).transpose(0, 2, 1, 3),
+        axis=(2, 3))
+    need_new = jnp.logical_and(content_patch, slots < 0)
+    cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
+    table, _ = pool_mod.table_insert(state.table, cand)
+    slots = pool_mod.table_lookup(table, keys)
+
+    # ---- patch-blocked writeback ------------------------------------------
+    occupied = win_mod.scatter_window(state.occupied, slots,
+                                      occ_new.astype(OCC_DTYPE))
+    visited = win_mod.scatter_window(state.visited, slots,
+                                     vis_new.astype(OCC_DTYPE))
+    obstacle = win_mod.scatter_window(state.obstacle, slots, obst_merged)
+    dist = win_mod.scatter_window(state.dist, slots, dist_merged)
+
+    new_state = SlamMapState(table, occupied, visited, obstacle, dist)
+    info = {
+        "processed_cells": jnp.sum(free_ok) + jnp.sum(hit_ok),
+        "num_patches": table.num_patches(),
+        "overflow": table.overflow,
+    }
+    return new_state, info

@@ -1,0 +1,84 @@
+"""Dense pose-centered windows over the patch pool.
+
+The TPU-native trick that removes per-cell hash probing from every hot path:
+each scan update / scan match works inside a dense [W, W] cell window centered
+on the robot. The window is gathered from the pool with *patch-level*
+indexing (one hash lookup per patch, not per cell), all inner-loop work
+(raycast scatter, EDT, bilinear interpolation) is plain dense array math, and
+results are scattered back patch-blocked.
+
+This replaces the reference's per-cell ``Map::get`` pointer walk
+(src/sdm/map.cpp:371-411) for the three hot loops identified in SURVEY §3.1.
+
+Conventions: cell coords are (x, y); dense grids are indexed [y, x];
+patch-block tensors are [py, px, ly, lx].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .geometry import MapGeometry, PKEY_BITS
+from . import pool as pool_mod
+
+
+def window_org(geo: MapGeometry, center_cell, wp: int):
+    """Patch-aligned window origin (cell coords) for a [wp x wp]-patch window
+    centered at ``center_cell`` (int32[2])."""
+    l2 = geo.log2dim
+    cp = jnp.asarray(center_cell, jnp.int32) >> l2        # center patch
+    org_p = cp - (wp // 2)
+    return org_p << l2                                     # cell coords [2]
+
+
+def window_patch_keys(geo: MapGeometry, org_cell, wp: int):
+    """Packed patch keys for the window, shape [wp, wp] indexed [py, px]."""
+    org_p = jnp.asarray(org_cell, jnp.int32) >> geo.log2dim
+    py = org_p[1] + jnp.arange(wp, dtype=jnp.int32)
+    px = org_p[0] + jnp.arange(wp, dtype=jnp.int32)
+    return (px[None, :] << PKEY_BITS) | py[:, None]
+
+
+def gather_window(table, arr, keys, default):
+    """Gather a dense [wp*L, wp*L] grid from pool array ``arr`` [P+1, L, L].
+
+    Missing patches are filled with ``default``. Returns (grid, slots) where
+    slots is int32[wp, wp] (-1 for missing) for reuse by the writeback.
+    """
+    wp = keys.shape[0]
+    length = arr.shape[-1]
+    slots = pool_mod.table_lookup(table, keys)             # [wp, wp]
+    safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1)
+    blocks = arr[safe]                                     # [wp, wp, L, L]
+    blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
+                       jnp.asarray(default, arr.dtype))
+    grid = blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length)
+    return grid, slots
+
+
+def scatter_window(arr, slots, grid, write_mask=None):
+    """Write a dense window grid back into pool array ``arr``.
+
+    ``slots`` int32[wp, wp] from gather_window (missing -> trash slot).
+    ``write_mask`` optional bool[wp*L, wp*L]: cells not in the mask keep the
+    grid value only if the caller already merged old values (callers pass a
+    grid built as ``where(mask, new, old)``); when given, patches with no
+    masked cell are skipped entirely via redirect to the trash slot.
+    """
+    wp = slots.shape[0]
+    length = arr.shape[-1]
+    trash = arr.shape[0] - 1
+    blocks = grid.reshape(wp, length, wp, length).transpose(0, 2, 1, 3)
+    target = jnp.where(slots >= 0, slots, trash)
+    if write_mask is not None:
+        mblocks = write_mask.reshape(wp, length, wp, length).transpose(0, 2, 1, 3)
+        patch_has = jnp.any(mblocks, axis=(2, 3))
+        target = jnp.where(patch_has, target, trash)
+    flat_slots = target.reshape(-1)
+    flat_blocks = blocks.reshape(wp * wp, length, length).astype(arr.dtype)
+    return arr.at[flat_slots].set(flat_blocks, mode="drop")
+
+
+def cells_to_local(org_cell, cells):
+    """Map cell coords [..., 2] -> window-local (lx, ly) int32 [..., 2]."""
+    return jnp.asarray(cells, jnp.int32) - jnp.asarray(org_cell, jnp.int32)

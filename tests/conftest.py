@@ -1,13 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before JAX initializes its backends, so this file does it
-at import time (pytest imports conftest before test modules).
+The ambient environment pins JAX_PLATFORMS=axon (a remote TPU tunnel with
+remote compilation — far too slow for unit tests) and a sitecustomize hook
+imports jax at interpreter startup, so env vars set here are too late for
+jax's config defaults. We therefore override the config directly.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS is parsed when the CPU backend is instantiated (later than this),
+# so the env route still works for the virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
