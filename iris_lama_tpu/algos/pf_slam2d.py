@@ -1,0 +1,334 @@
+"""Rao-Blackwellized particle-filter SLAM (the reference's PFSlam2D).
+
+reference: include/lama/pf_slam2d.h, src/pf_slam2d.cpp. Each particle owns a
+full (occupancy, distance) map pair; per update: sample motion noise
+(drawFromMotion, :365-391), scan-match every particle on its own map
+(:416-437), likelihood (:393-414), normalize + Neff (:511-535), systematic
+resampling when Neff < N/2 (:537-574), then rasterize the scan into every
+particle's maps (:439-509).
+
+TPU architecture: the reference's ThreadPool fan-out/barrier pairs
+(SURVEY §3.2) become a *particle axis*: every map array carries a leading
+[N] dimension, per-particle work is `vmap`-ed, and multi-chip scaling is
+pure sharding of that axis (see parallel/pf_sharding.py) — weights/Neff
+reduce with `psum`-style collectives inserted by XLA, resampling is a
+cross-shard gather. Randomness is `jax.random` counter-based, reproducible
+like Options::seed (pf_slam2d.h:174-176).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.pose import Pose2D
+from ..match import match_surface_2d as match
+from ..nlls.robust import CAUCHY_SCAN
+from ..nlls.solver import SolverOptions
+from ..sdm import mapping, window as win_mod
+from ..sdm.geometry import MapGeometry
+from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
+from ..utils.summary import Summary
+
+
+@dataclasses.dataclass(frozen=True)
+class PFSlam2DOptions:
+    """reference: PFSlam2D::Options (pf_slam2d.h:132-185) + TPU sizing."""
+
+    particles: int = 30
+    srr: float = 0.1
+    str_: float = 0.2
+    stt: float = 0.1
+    srt: float = 0.2
+    meas_sigma: float = 0.05
+    meas_sigma_gain: float = 3.0
+    trans_thresh: float = 0.5
+    rot_thresh: float = 0.5
+    l2_max: float = 0.5
+    truncated_ray: float = 0.0
+    truncated_range: float = 0.0
+    resolution: float = 0.05
+    patch_size: int = 32
+    max_iter: int = 100
+    strategy: str = "gn"
+    seed: int = 0
+    create_summary: bool = False
+    # --- TPU sizing ---
+    max_range: float = 10.0
+    max_beams: int = 0
+    capacity: int = 2048
+    pose_slack: float = 2.0
+
+    def mapping_config(self) -> mapping.MappingConfig:
+        log2dim = int(np.log2(self.patch_size))
+        return mapping.MappingConfig(
+            geometry=MapGeometry(self.resolution, log2dim, False),
+            l2_max=self.l2_max,
+            truncated_ray=self.truncated_ray,
+            truncated_range=self.truncated_range,
+            max_range=self.max_range,
+            pose_slack=self.pose_slack,
+            capacity=self.capacity,
+        )
+
+    def solver_options(self) -> SolverOptions:
+        # scanMatch hardwires GN + Cauchy(0.15) (pf_slam2d.cpp:421-426)
+        return SolverOptions(max_iterations=self.max_iter, strategy="gn",
+                             robust=CAUCHY_SCAN)
+
+
+class ParticleSet(NamedTuple):
+    """All particle state; every array has leading [N]."""
+
+    pose: jax.Array              # f32[N, 4] SE(2)
+    weight: jax.Array            # f32[N]
+    weight_sum: jax.Array        # f32[N]
+    normalized: jax.Array        # f32[N]
+    maps: mapping.SlamMapState   # arrays [N, ...]
+
+
+def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
+    n = opts.particles
+    cfg = opts.mapping_config()
+    one_map = mapping.slam_map_init(cfg)
+    maps = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape), one_map)
+    # materialize (broadcast views are fine under jit but be explicit)
+    maps = jax.tree.map(jnp.array, maps)
+    return ParticleSet(
+        pose=jnp.broadcast_to(prior_se2, (n, 4)).astype(jnp.float32),
+        weight=jnp.zeros((n,), jnp.float32),
+        weight_sum=jnp.zeros((n,), jnp.float32),
+        normalized=jnp.full((n,), 1.0 / n, jnp.float32),
+        maps=maps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+def draw_from_motion(opts: PFSlam2DOptions, key, odelta, poses):
+    """Per-particle motion noise (pf_slam2d.cpp:365-391)."""
+    n = poses.shape[0]
+    dx, dy = odelta[0], odelta[1]
+    drot = jnp.arctan2(odelta[3], odelta[2])
+    sxy = 0.3 * opts.stt
+    sig_x = opts.stt * jnp.abs(dx) + opts.str_ * jnp.abs(drot) + sxy * jnp.abs(dy)
+    sig_y = opts.stt * jnp.abs(dy) + opts.str_ * jnp.abs(drot) + sxy * jnp.abs(dx)
+    sig_r = opts.srr * jnp.abs(drot) + opts.srt * jnp.sqrt(dx * dx + dy * dy)
+    eps = jax.random.normal(key, (n, 3))
+    x = dx + eps[:, 0] * sig_x
+    y = dy + eps[:, 1] * sig_y
+    yaw = drot + eps[:, 2] * sig_r
+    yaw = jnp.mod(yaw, 2 * jnp.pi)
+    yaw = jnp.where(yaw > jnp.pi, yaw - 2 * jnp.pi, yaw)
+    delta = lie.se2(x, y, yaw)
+    return lie.se2_compose(poses, delta)
+
+
+def _scan_match_one(cfg, sopts, map_state, pose0, points_xy, mask, meas_sigma):
+    """Scan match + likelihood for one particle (vmapped)."""
+    geo = cfg.geometry
+    max_dist = cfg.distance.max_dist
+    org = win_mod.window_org(geo, geo.w2m(pose0[:2]), cfg.window_patches)
+    keys = win_mod.window_patch_keys(geo, org, cfg.window_patches)
+    grid, _ = win_mod.gather_window(map_state.table, map_state.dist, keys,
+                                    max_dist)
+    res = match.solve_window(grid, org, geo, max_dist, points_xy, mask,
+                             pose0, sopts)
+    # calculateLikelihood: sum -d^2/sigma over beams (pf_slam2d.cpp:393-414)
+    hits = lie.se2_apply(res.state, points_xy)
+    from ..sdm.distance import interp_window
+    d, _ = interp_window(grid, org, geo, hits, max_dist)
+    d = d * mask.astype(jnp.float32)
+    lik = jnp.sum(-(d * d) / meas_sigma)
+    return res.state, lik, org
+
+
+def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
+                   points, mask, origin):
+    """Full per-scan PF update (scan match -> weights -> resample -> maps).
+
+    Motion sampling runs separately per odometry packet (motion_step) to
+    mirror the reference's every-call drawFromMotion.
+    """
+    cfg = opts.mapping_config()
+    sopts = opts.solver_options()
+    n = opts.particles
+
+    # 2. per-particle scan match + likelihood (THREAD BOUNDARY -> vmap)
+    states, liks, orgs = jax.vmap(
+        lambda m, p: _scan_match_one(cfg, sopts, m, p, points[:, :2], mask,
+                                     opts.meas_sigma)
+    )(pset.maps, pset.pose)
+    weight = pset.weight + liks
+    weight_sum = pset.weight_sum + liks
+
+    # 3. normalize + Neff (pf_slam2d.cpp:511-535)
+    gain = 1.0 / (opts.meas_sigma_gain * n)
+    max_w = jnp.max(weight)
+    nw = jnp.exp(gain * (weight - max_w))
+    nw = nw / jnp.sum(nw)
+    neff = 1.0 / jnp.sum(nw * nw)
+
+    # 4. systematic resampling when Neff < N/2 (pf_slam2d.cpp:537-574)
+    do_resample = neff < (n * 0.5)
+    u = jax.random.uniform(key)
+    interval = 1.0 / n
+    targets = (jnp.arange(n, dtype=jnp.float32) + u) * interval
+    cumw = jnp.cumsum(nw)
+    res_idx = jnp.searchsorted(cumw, targets, side="right")
+    res_idx = jnp.clip(res_idx, 0, n - 1)
+    idx = jnp.where(do_resample, res_idx, jnp.arange(n))
+
+    pose = states[idx]
+    weight = jnp.where(do_resample, jnp.zeros_like(weight), weight[idx])
+    weight_sum = weight_sum[idx]
+    maps = jax.tree.map(lambda a: a[idx], pset.maps)
+
+    # 5. per-particle map update (second THREAD BOUNDARY -> vmap)
+    def upd(m, p):
+        new_m, _ = mapping.update_maps(m, cfg, p, points, mask, origin)
+        return new_m
+
+    maps = jax.vmap(upd)(maps, pose)
+
+    new_set = ParticleSet(pose, weight, weight_sum, nw, maps)
+    info = {"neff": neff, "resampled": do_resample,
+            "overflow": jnp.max(maps.table.overflow)}
+    return new_set, info
+
+
+def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
+                  origin):
+    """First scan: build particle 0's map and share it (pf_slam2d.cpp:185-228
+    COW-clones; functionally we just update all identical particles)."""
+    cfg = opts.mapping_config()
+
+    def upd(m, p):
+        new_m, _ = mapping.update_maps(m, cfg, p, points, mask, origin)
+        return new_m
+
+    maps = jax.vmap(upd)(pset.maps, pset.pose)
+    return pset._replace(maps=maps)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+class PFSlam2D:
+    """Host driver; mirrors the reference public API (pf_slam2d.h:188-254)."""
+
+    def __init__(self, options: PFSlam2DOptions = PFSlam2DOptions()):
+        self.options = options
+        seed = options.seed if options.seed != 0 else int(
+            time.time_ns() % (2 ** 31))
+        self.key = jax.random.PRNGKey(seed)
+        self.pose_prior = Pose2D()
+        self.odom_ = Pose2D()
+        self.has_first_scan = False
+        self.acc_trans = 0.0
+        self.acc_rot = 0.0
+        self.pset: Optional[ParticleSet] = None
+        self.summary: Optional[Summary] = (
+            Summary() if options.create_summary else None)
+        self._max_beams = options.max_beams
+        self._jit_update = None
+        self._jit_motion = None
+        self._jit_first = None
+
+    def set_prior(self, prior: Pose2D) -> None:
+        self.pose_prior = prior
+
+    def _build(self):
+        opts = self.options
+
+        def motion(pset, key, odelta):
+            return pset._replace(
+                pose=draw_from_motion(opts, key, odelta, pset.pose))
+
+        self._jit_motion = jax.jit(motion, donate_argnums=(0,))
+        self._jit_update = jax.jit(
+            lambda pset, key, pts, msk, org: pf_update_step(
+                opts, pset, key, pts, msk, org), donate_argnums=(0,))
+        self._jit_first = jax.jit(
+            lambda pset, pts, msk, org: pf_first_step(opts, pset, pts, msk,
+                                                      org),
+            donate_argnums=(0,))
+
+    def _split(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
+               timestamp: float = 0.0) -> bool:
+        """pf_slam2d.cpp:178-311."""
+        t0 = time.perf_counter()
+        opts = self.options
+        if self._max_beams == 0:
+            self._max_beams = beam_bucket(len(cloud.points))
+        if self._jit_update is None:
+            self._build()
+
+        points, mask, origin = pad_scan(cloud, self._max_beams)
+        points, mask, origin = (jnp.asarray(points), jnp.asarray(mask),
+                                jnp.asarray(origin))
+
+        if not self.has_first_scan:
+            self.odom_ = odometry
+            self.pset = particles_init(opts, jnp.asarray(
+                self.pose_prior.se2_array()))
+            self.pset = self._jit_first(self.pset, points, mask, origin)
+            jax.block_until_ready(self.pset.maps.dist)
+            self.has_first_scan = True
+            if self.summary:
+                dt = time.perf_counter() - t0
+                self.summary.probe(timestamp, dt, mapping=dt,
+                                   memory=self.memory_usage())
+            return True
+
+        # 1. motion prediction for every particle, every call
+        odelta = self.odom_ - odometry
+        self.odom_ = odometry
+        self.pset = self._jit_motion(self.pset, self._split(),
+                                     jnp.asarray(odelta.se2_array()))
+
+        self.acc_trans += float(np.linalg.norm(odelta.xy()))
+        self.acc_rot += abs(odelta.rotation())
+        if (self.acc_trans <= opts.trans_thresh and
+                self.acc_rot <= opts.rot_thresh):
+            return False
+        self.acc_trans = 0.0
+        self.acc_rot = 0.0
+
+        # 2-5. fused device update
+        self.pset, info = self._jit_update(self.pset, self._split(),
+                                           points, mask, origin)
+        jax.block_until_ready(self.pset.pose)
+        self._last_info = {k: float(np.asarray(v)) for k, v in info.items()}
+
+        if self.summary:
+            dt = time.perf_counter() - t0
+            self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
+                               memory=self.memory_usage())
+        return True
+
+    # -- accessors (pf_slam2d.h:188-254) ------------------------------------
+    def best_particle_idx(self) -> int:
+        return int(jnp.argmax(self.pset.weight_sum))
+
+    def pose(self) -> Pose2D:
+        i = self.best_particle_idx()
+        return Pose2D.from_se2_array(np.asarray(self.pset.pose[i]))
+
+    def memory_usage(self) -> int:
+        n_p = np.asarray(self.pset.maps.table.num_patches()).sum()
+        length = self.options.patch_size
+        return int(n_p) * length * length * (2 + 2 + 1 + 4)

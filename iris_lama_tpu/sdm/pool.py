@@ -80,9 +80,18 @@ def table_init(capacity: int, table_factor: int = 4) -> PatchTable:
 
 
 def _hash(keys, table_size: int):
-    """Fibonacci (Knuth) multiplicative hash into [0, table_size)."""
-    h = (keys.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> jnp.uint32(1)
-    return (h % jnp.uint32(table_size)).astype(jnp.int32)
+    """murmur3 finalizer into [0, table_size) (table_size is a power of two).
+
+    Patch keys are 2D-grid structured (two packed arithmetic progressions);
+    a full-avalanche mix is required to avoid linear-probe clustering.
+    """
+    h = keys.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
 def table_lookup(table: PatchTable, keys):

@@ -1,0 +1,56 @@
+"""End-to-end Slam2D on the synthetic office world.
+
+Property: SLAM trajectory beats raw (noisy) odometry and stays within a tight
+ATE bound of ground truth — the parity property BASELINE.md tracks on the
+real logs.
+"""
+
+import numpy as np
+
+from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
+from iris_lama_tpu.utils import simulator
+from iris_lama_tpu.utils.evaluation import ate_rmse
+
+
+def run_sim_slam(n_steps=150, seed=1, **opt_kw):
+    cfg = simulator.SimConfig(
+        n_steps=n_steps, seed=seed,
+        laser=simulator.LaserSpec(n_beams=180, max_range=8.0))
+    data = simulator.simulate(cfg)
+
+    opts = Slam2DOptions(resolution=0.05, max_range=8.0, trans_thresh=0.25,
+                         rot_thresh=0.25, capacity=8192, **opt_kw)
+    slam = Slam2D(opts)
+    slam.set_prior(__import__("iris_lama_tpu.core.pose",
+                              fromlist=["Pose2D"]).Pose2D(*data.poses_gt[0]))
+
+    est, gt_used, odom_used = [], [], []
+    for k in range(n_steps):
+        updated = slam.update(data.clouds[k], data.odometry[k],
+                              data.timestamps[k])
+        if updated:
+            est.append(slam.pose().xyr())
+            gt_used.append(data.poses_gt[k])
+            odom_used.append(data.odometry[k].xyr())
+    return (np.asarray(est), np.asarray(gt_used), np.asarray(odom_used), slam)
+
+
+def test_slam2d_tracks_ground_truth():
+    est, gt, odom, slam = run_sim_slam()
+    assert len(est) > 20
+    ate_slam = ate_rmse(est, gt)
+    ate_odom = ate_rmse(odom, gt)
+    # SLAM must be accurate in absolute terms and no worse than odometry
+    assert ate_slam < 0.08, (ate_slam, ate_odom)
+    assert ate_slam <= ate_odom * 1.5, (ate_slam, ate_odom)
+    assert slam._last_info["overflow"] == 0
+
+
+def test_slam2d_motion_gate():
+    cfg = simulator.SimConfig(n_steps=400, seed=0)  # ~0.2 m between steps
+    data = simulator.simulate(cfg)
+    slam = Slam2D(Slam2DOptions(max_range=8.0))
+    assert slam.update(data.clouds[0], data.odometry[0], 0.0)
+    # consecutive poses are ~0.08 m apart: under the 0.5 m gate
+    assert not slam.update(data.clouds[1], data.odometry[1], 0.1)
+    assert slam.enough_motion(data.odometry[1]) is False
