@@ -1,0 +1,294 @@
+"""Pure localization against fixed prebuilt maps (the reference's Loc2D).
+
+reference: include/lama/loc2d.h, src/loc2d.cpp. Per scan: odometry
+prediction -> motion gate -> scan-match solve WITH covariance
+(loc2d.cpp:168-173) -> RMSE; optional Olson sampled-covariance blending
+(:199-247) and global localization — up to ``gloc_particles`` random
+free-cell pose hypotheses scored by residual SSE, best kept, repeated until
+RMSE < gloc_thresh (:249-286, options loc2d.h:87-98).
+
+TPU angle: global localization is embarrassingly parallel hypothesis scoring
+— 3000 candidate poses x all beams evaluate as ONE vmapped gather kernel
+(the reference loops hypotheses sequentially on one core).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.pose import Pose2D
+from ..match import match_surface_2d as match
+from ..nlls import solver as nlls_solver
+from ..nlls.robust import CAUCHY_SCAN
+from ..nlls.solver import SolverOptions
+from ..sdm import distance as dist_mod
+from ..sdm import mapping, occupancy as occ_mod, pool as pool_mod
+from ..sdm.geometry import MapGeometry
+from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
+
+
+@dataclasses.dataclass(frozen=True)
+class Loc2DOptions:
+    """reference: Loc2D::Options (loc2d.h:61-99)."""
+
+    trans_thresh: float = 0.5
+    rot_thresh: float = 0.5
+    l2_max: float = 1.0
+    resolution: float = 0.05
+    patch_size: int = 32
+    gloc_particles: int = 3000
+    gloc_iters: int = 10
+    gloc_thresh: float = 0.15
+    max_iter: int = 100
+    cov_blend: float = 0.0
+    strategy: str = "gn"
+    # --- TPU sizing ---
+    max_range: float = 10.0
+    max_beams: int = 0
+
+    def solver_options(self) -> SolverOptions:
+        return SolverOptions(max_iterations=self.max_iter,
+                             strategy=self.strategy, robust=CAUCHY_SCAN)
+
+
+class LocMaps(NamedTuple):
+    """The fixed map inputs (loc2d.h:103-104)."""
+
+    occupancy: occ_mod.SimpleOccupancyState
+    distance: dist_mod.DistanceMapState
+
+
+def maps_from_slam(slam_map: mapping.SlamMapState,
+                   cfg: mapping.MappingConfig) -> LocMaps:
+    """Convert a built SLAM map into Loc2D inputs (the role Map::write/read
+    plays between Slam2D and Loc2D in the reference, SURVEY §3.5)."""
+    occ = slam_map.occupied.astype(jnp.int32)
+    vis = slam_map.visited.astype(jnp.int32)
+    occupied = 4 * occ > vis
+    free = jnp.logical_and(vis > 0, 4 * occ < vis)
+    cells = jnp.where(occupied, jnp.int8(1),
+                      jnp.where(free, jnp.int8(-1), jnp.int8(0)))
+    simple = occ_mod.SimpleOccupancyState(slam_map.table, cells)
+    dm = dist_mod.DistanceMapState(slam_map.table, slam_map.obstacle,
+                                   slam_map.dist)
+    return LocMaps(simple, dm)
+
+
+def map_bounds(table: pool_mod.PatchTable, geo: MapGeometry):
+    """World-coordinate bounds of allocated patches (Map::bounds,
+    src/sdm/map.cpp:139-160)."""
+    keys, mask = pool_mod.active_keys(table)
+    anchors = geo.p2anchor(keys)
+    big = jnp.int32(1 << 30)
+    lo = jnp.min(jnp.where(mask[:, None], anchors, big), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], anchors + geo.patch_length, -big),
+                 axis=0)
+    return geo.m2w(lo), geo.m2w(hi)
+
+
+def _sse_for_poses(maps: LocMaps, geo, max_dist, points_xy, mask, poses):
+    """Residual SSE for a batch of pose hypotheses [K, 4] -> [K]."""
+    def one(p):
+        hits = lie.se2_apply(p, points_xy)
+        d, _ = dist_mod.interp_pool(maps.distance.table, maps.distance.dist,
+                                    geo, hits, max_dist)
+        d = d * mask.astype(jnp.float32)
+        return jnp.sum(d * d)
+
+    return jax.vmap(one)(poses)
+
+
+def global_localization_kernel(maps: LocMaps, geo: MapGeometry,
+                               max_dist, points_xy, mask, key,
+                               n_particles: int):
+    """One gloc round (loc2d.cpp:249-286): uniform free-space hypotheses,
+    keep the arg-min SSE pose."""
+    lo, hi = map_bounds(maps.occupancy.table, geo)
+    k1, k2 = jax.random.split(key)
+    xy = jax.random.uniform(k1, (n_particles, 2)) * (hi - lo) + lo
+    th = jax.random.uniform(k2, (n_particles,)) * (2 * jnp.pi) - jnp.pi
+    cells = geo.w2m(xy)
+    free = occ_mod.simple_is_free(maps.occupancy, geo, cells)
+    poses = lie.se2(xy[:, 0], xy[:, 1], th)
+    sse = _sse_for_poses(maps, geo, max_dist, points_xy, mask, poses)
+    sse = jnp.where(free, sse, jnp.inf)
+    best = jnp.argmin(sse)
+    return poses[best], sse[best]
+
+
+def sampling_covariance_kernel(maps: LocMaps, geo, max_dist, points_xy,
+                               mask, pose, resolution: float,
+                               n_points_step: int):
+    """Olson sampled covariance (loc2d.cpp:199-247).
+
+    161 xy offsets (center + 20 rings of 8 neighbors at multiples of the
+    resolution, loc2d.cpp:91-107), likelihood l = sum exp(-d^2/0.01)^3 over
+    subsampled beams using the *uninterpolated* cell distance (loc2d.cpp:230).
+    """
+    steps = [(0.0, 0.0)]
+    for i in range(1, 21):
+        s = i * resolution
+        steps += [(s, 0), (0, s), (-s, 0), (0, -s),
+                  (s, s), (-s, s), (s, -s), (-s, -s)]
+    offsets = jnp.asarray(np.array(steps, np.float32))        # [S, 2]
+
+    pts = points_xy[::n_points_step]
+    pmask = mask[::n_points_step].astype(jnp.float32)
+
+    def lik(offset):
+        p = pose.at[0:2].add(offset)
+        hits = lie.se2_apply(p, pts)
+        cells = geo.w2m(hits)
+        d = dist_mod.cell_distance(maps.distance.table, maps.distance.dist,
+                                   geo, cells, max_dist)
+        e = jnp.exp(-(d * d) / 0.01) * pmask
+        return jnp.sum(e * e * e)
+
+    ls = jax.vmap(lik)(offsets)                               # [S]
+    trans = pose[0:2][None, :] + offsets                      # [S, 2]
+    s = jnp.sum(ls)
+    u = jnp.sum(trans * ls[:, None], axis=0)
+    K = jnp.einsum("si,sj,s->ij", trans, trans, ls)
+    return K / s - jnp.outer(u, u) / (s * s)
+
+
+class Loc2D:
+    """Host driver; mirrors the reference public API (loc2d.h:101-160)."""
+
+    def __init__(self, options: Loc2DOptions = Loc2DOptions(),
+                 maps: Optional[LocMaps] = None, seed: int = 0):
+        self.options = options
+        log2dim = int(np.log2(options.patch_size))
+        self.geo = MapGeometry(options.resolution, log2dim, False)
+        self.dcfg = dist_mod.DistanceConfig(self.geo, options.l2_max)
+        self.maps = maps
+        self.pose_ = Pose2D()
+        self.odom_ = Pose2D()
+        self.cov_ = np.eye(3)
+        self.rmse_ = 0.0
+        self.has_first_scan = False
+        self.do_global_localization = False
+        self.gloc_cur_iter = 0
+        self.key = jax.random.PRNGKey(seed if seed else 42)
+        self._max_beams = options.max_beams
+        self._solve = None
+        self._gloc = None
+        self._samp_cov = None
+        self._rmse = None
+
+    def set_maps(self, maps: LocMaps) -> None:
+        self.maps = maps
+
+    def set_prior(self, prior: Pose2D) -> None:
+        self.pose_ = prior
+
+    def trigger_global_localization(self) -> None:
+        self.do_global_localization = True
+
+    def pose(self) -> Pose2D:
+        return self.pose_
+
+    def covariance(self) -> np.ndarray:
+        return self.cov_
+
+    def rmse(self) -> float:
+        return self.rmse_
+
+    def _build(self):
+        opts, geo, maps = self.options, self.geo, self.maps
+        max_dist = self.dcfg.max_dist
+        sopts = opts.solver_options()
+
+        def solve_and_cov(pose0, pts, msk):
+            eval_fn = match.make_pool_eval(maps.distance.table,
+                                           maps.distance.dist, geo, max_dist,
+                                           pts, msk)
+            res = nlls_solver.solve(eval_fn, match.update_state, pose0, sopts)
+            cov = nlls_solver.covariance(eval_fn, sopts.robust, res.state)
+            r, _ = eval_fn(res.state)
+            n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
+            rmse = jnp.sqrt(jnp.sum(r * r) / n)
+            return res.state, cov, rmse
+
+        self._solve = jax.jit(solve_and_cov)
+        self._gloc = jax.jit(lambda pts, msk, key: global_localization_kernel(
+            maps, geo, max_dist, pts, msk, key, opts.gloc_particles))
+
+        def rmse_only(pose0, pts, msk):
+            eval_fn = match.make_pool_eval(maps.distance.table,
+                                           maps.distance.dist, geo, max_dist,
+                                           pts, msk)
+            r, _ = eval_fn(pose0)
+            n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
+            return jnp.sqrt(jnp.sum(r * r) / n)
+
+        self._rmse = jax.jit(rmse_only)
+
+    def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
+               timestamp: float = 0.0, force_update: bool = False) -> bool:
+        """loc2d.cpp:126-192."""
+        assert self.maps is not None, "Loc2D needs maps (loc2d.h:103-104)"
+        opts = self.options
+        if self._max_beams == 0:
+            self._max_beams = beam_bucket(len(cloud.points))
+        if self._solve is None:
+            self._build()
+
+        points, mask, _ = pad_scan(cloud, self._max_beams)
+        pts = jnp.asarray(points[:, :2])
+        msk = jnp.asarray(mask)
+
+        if not self.has_first_scan:
+            self.odom_ = odometry
+            self.has_first_scan = True
+            if not force_update:
+                return True
+            self.rmse_ = float(self._rmse(jnp.asarray(
+                self.pose_.se2_array()), pts, msk))
+
+        odelta = self.odom_ - odometry
+        ppose = self.pose_ + odelta
+        if not force_update and not self._enough_motion(odelta):
+            return False
+        self.pose_ = ppose
+        self.odom_ = odometry
+
+        if self.do_global_localization:
+            if self.gloc_cur_iter < opts.gloc_iters:
+                self.gloc_cur_iter += 1
+                self.key, sub = jax.random.split(self.key)
+                best_pose, _ = self._gloc(pts, msk, sub)
+                self.pose_ = Pose2D.from_se2_array(np.asarray(best_pose))
+            else:
+                self.do_global_localization = False
+                self.gloc_cur_iter = 0
+
+        state, cov, rmse = self._solve(jnp.asarray(self.pose_.se2_array()),
+                                       pts, msk)
+        self.pose_ = Pose2D.from_se2_array(np.asarray(state))
+        self.cov_ = np.asarray(cov, np.float64)
+        self.rmse_ = float(rmse)
+
+        if opts.cov_blend > 0.0:
+            n_step = max(int(np.sum(mask)) // 100, 1)
+            samp = sampling_covariance_kernel(
+                self.maps, self.geo, self.dcfg.max_dist, pts, msk,
+                jnp.asarray(self.pose_.se2_array()), opts.resolution, n_step)
+            a = min(max(opts.cov_blend, 0.0), 1.0)
+            self.cov_[:2, :2] = (a * np.asarray(samp)
+                                 + (1 - a) * self.cov_[:2, :2])
+
+        if self.do_global_localization and self.rmse_ < opts.gloc_thresh:
+            self.do_global_localization = False
+            self.gloc_cur_iter = 0
+        return True
+
+    def _enough_motion(self, odelta: Pose2D) -> bool:
+        return not (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh
+                    and abs(odelta.rotation()) <= self.options.rot_thresh)

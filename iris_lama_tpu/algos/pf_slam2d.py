@@ -241,6 +241,7 @@ class PFSlam2D:
             Summary() if options.create_summary else None)
         self._max_beams = options.max_beams
         self._jit_update = None
+        self._last_info = {}
         self._jit_motion = None
         self._jit_first = None
 

@@ -112,6 +112,7 @@ class Slam2D:
             Summary() if options.create_summary else None)
         self._max_beams = options.max_beams
         self._step = None
+        self._last_info = {}
         self._first = None
 
     # -- reference API ------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Loc2D tests: localization against a prebuilt map, covariance, and global
+localization (kidnapped-robot recovery)."""
+
+import numpy as np
+
+from iris_lama_tpu.algos.loc2d import (Loc2D, Loc2DOptions, maps_from_slam)
+from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
+from iris_lama_tpu.core.pose import Pose2D
+from iris_lama_tpu.utils import simulator
+
+
+def build_map(data, n_steps):
+    opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                         trans_thresh=0.2, rot_thresh=0.2, capacity=4096)
+    slam = Slam2D(opts)
+    slam.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(n_steps):
+        slam.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+    return slam
+
+
+def _sim(n=120, seed=4):
+    cfg = simulator.SimConfig(
+        n_steps=n, seed=seed,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0))
+    return simulator.simulate(cfg)
+
+
+def test_loc2d_tracks_on_prebuilt_map():
+    data = _sim()
+    n_map = 60
+    slam = build_map(data, n_map)
+    maps = maps_from_slam(slam.map, slam.cfg)
+
+    loc = Loc2D(Loc2DOptions(resolution=0.1, patch_size=16, l2_max=0.5,
+                             trans_thresh=0.2, rot_thresh=0.2,
+                             max_range=8.0), maps=maps)
+    # start localization from the ground truth at step 0, replay the odometry
+    loc.set_prior(Pose2D(*data.poses_gt[0]))
+    errs = []
+    for k in range(n_map):
+        if loc.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
+            err = np.linalg.norm(loc.pose().xy() - data.poses_gt[k][:2])
+            errs.append(err)
+    assert len(errs) > 5
+    assert np.mean(errs) < 0.15, errs
+    # covariance is SPD-ish and small
+    cov = loc.covariance()
+    assert cov.shape == (3, 3)
+    assert np.all(np.linalg.eigvalsh(cov[:2, :2]) > 0)
+
+
+def test_loc2d_global_localization_recovers():
+    data = _sim()
+    n_map = 100
+    slam = build_map(data, n_map)
+    maps = maps_from_slam(slam.map, slam.cfg)
+
+    loc = Loc2D(Loc2DOptions(resolution=0.1, patch_size=16, l2_max=0.5,
+                             max_range=8.0, gloc_particles=2000,
+                             gloc_thresh=0.25), maps=maps, seed=9)
+    # kidnapped: prior far from the truth
+    k = 40
+    loc.set_prior(Pose2D(25.0, 3.0, 1.0))
+    loc.trigger_global_localization()
+    loc.update(data.clouds[k], data.odometry[k], 0.0, force_update=True)
+    # a couple more forced updates to converge
+    for j in (k + 1, k + 2, k + 3):
+        loc.update(data.clouds[j], data.odometry[j], 0.0, force_update=True)
+    err = np.linalg.norm(loc.pose().xy() - data.poses_gt[k + 3][:2])
+    assert err < 0.5, (err, loc.pose().xyr(), data.poses_gt[k + 3])
+
+
+def test_loc2d_sampling_covariance_blend():
+    data = _sim(n=30)
+    slam = build_map(data, 30)
+    maps = maps_from_slam(slam.map, slam.cfg)
+    loc = Loc2D(Loc2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                             cov_blend=0.5), maps=maps)
+    loc.set_prior(Pose2D(*data.poses_gt[0]))
+    loc.update(data.clouds[0], data.odometry[0], 0.0, force_update=True)
+    loc.update(data.clouds[5], data.odometry[5], 0.0, force_update=True)
+    cov = loc.covariance()
+    assert np.isfinite(cov).all()
+    assert np.all(np.diag(cov)[:2] >= 0)
