@@ -1,0 +1,367 @@
+"""Graph SLAM with loop closure (the reference's GraphSlam2D).
+
+reference: include/lama/graph_slam2d.h, src/graph_slam2d.cpp. A transient-map
+Slam2D front end (:104-111) + key-pose chain (1 m / 0.5*pi gates, :199-207)
++ loop-closure search and verification (:284-392) + pose-graph optimization
+(:394-430) with the correction transform rebased onto the live SLAM pose.
+
+TPU mapping of the pieces:
+* nanoflann k-d radius search -> masked pairwise distances on host numpy
+  (key-pose counts are ~10^3; brute force beats tree-building);
+* dual-hypothesis candidate verification (:315-355) -> one jitted program
+  per candidate: two 1-iteration GN solves, winner refined with a full
+  solve, nearest-cell RMSE — all on the live map's dense window;
+* coarse fallback (:357-392) -> a throwaway dense 0.25 m grid + exact EDT
+  (no patch pool needed for a scan-sized scratch field);
+* minisam LM -> the batched SE(2) factor graph (nlls/factor_graph.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+from ..core.pose import Pose2D
+from ..match import match_surface_2d as match
+from ..nlls import factor_graph as fg
+from ..nlls.robust import RobustCost
+from ..nlls.solver import SolverOptions
+from ..sdm import distance as dist_mod
+from ..sdm import mapping, window as win_mod
+from ..sdm.geometry import MapGeometry
+from ..utils.cloud import PointCloudXYZ, pad_scan
+from .slam2d import Slam2D, Slam2DOptions
+
+HUBER_MATCH = RobustCost("huber", 0.15)   # graph_slam2d.cpp:327, 363
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphSlam2DOptions:
+    """reference: GraphSlam2D::Options (graph_slam2d.h:59-87) — inherits the
+    Slam2D options and adds loop-closure knobs."""
+
+    slam: Slam2DOptions = Slam2DOptions(transient_map=True)
+    key_pose_distance: float = 1.0
+    key_pose_angular_distance: float = 0.5 * math.pi
+    key_pose_head_delay: int = 5
+    loop_search_max_distance: float = 10.0
+    loop_search_min_distance: float = 2.0
+    loop_max_candidates: int = 5
+    loop_closure_scan_rmse: float = 0.05
+    ignore_n_chain_poses: int = 20
+
+
+class KeyPose(NamedTuple):
+    """graph_slam2d.h:97-104 (cloud kept as padded device arrays)."""
+
+    id: int
+    pose: Pose2D        # corrected/global frame
+    raw_pose: Pose2D    # live slam frame at creation
+    points: np.ndarray  # f32[B, 3] base-frame points
+    mask: np.ndarray    # bool[B]
+    origin: np.ndarray  # f32[3]
+    timestamp: float
+
+
+def _se2(p: Pose2D):
+    return jnp.asarray(p.se2_array())
+
+
+class GraphSlam2D:
+    """Host driver; mirrors the reference public API (graph_slam2d.h:106-160)."""
+
+    def __init__(self, options: GraphSlam2DOptions = GraphSlam2DOptions()):
+        self.options = options
+        slam_opts = dataclasses.replace(options.slam, transient_map=True)
+        self.slam = Slam2D(slam_opts)
+        self.key_poses: List[KeyPose] = []
+        self.links: List[tuple] = []
+        self.correction = Pose2D()
+        self.accdist = 0.0
+        self.factordist = 0.0
+        self._prev_key = None
+        self._builder = fg.GraphBuilder()
+        self._factor_queue = 0   # factors queued since last optimize
+        self._jit_correlate = None
+        self._jit_coarse = None
+        self._odom0: Optional[Pose2D] = None
+
+    # -- public API ----------------------------------------------------------
+    def set_prior(self, prior: Pose2D) -> None:
+        self.slam.set_prior(prior)
+
+    def pose(self) -> Pose2D:
+        """corrected global pose = correction + slam pose."""
+        return self.correction + self.slam.pose()
+
+    def enough_motion(self, odometry: Pose2D) -> bool:
+        return self.slam.enough_motion(odometry)
+
+    # -- loop-closure kernels ------------------------------------------------
+    def _build_kernels(self):
+        cfg = self.slam.cfg
+        geo = cfg.geometry
+        wp = cfg.window_patches
+        max_dist = cfg.distance.max_dist
+
+        def window_for(state, pose):
+            org = win_mod.window_org(geo, geo.w2m(pose[:2]), wp)
+            keys = win_mod.window_patch_keys(geo, org, wp)
+            grid, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                            max_dist)
+            return grid, org
+
+        def rmse_window(grid, org, pts, msk, state):
+            hits = lie.se2_apply(state, pts)
+            cells = geo.w2m(hits)
+            loc = cells - org
+            h = grid.shape[0]
+            ok = ((loc[:, 0] >= 0) & (loc[:, 0] < h) &
+                  (loc[:, 1] >= 0) & (loc[:, 1] < h))
+            d = jnp.where(ok, grid[jnp.clip(loc[:, 1], 0, h - 1),
+                                   jnp.clip(loc[:, 0], 0, h - 1)],
+                          jnp.float32(max_dist))
+            d = d * msk.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(msk), 1)
+            return jnp.sqrt(jnp.sum(d * d) / n)
+
+        one_iter = SolverOptions(max_iterations=1, strategy="gn",
+                                 robust=HUBER_MATCH)
+        full = SolverOptions(max_iterations=100, strategy="gn",
+                             robust=HUBER_MATCH)
+
+        def correlate(map_state, cand_pose, ref_xy_cand_rot, pts, msk):
+            """graph_slam2d.cpp:315-355 dual-hypothesis verification."""
+            g0, o0 = window_for(map_state, cand_pose)
+            r0 = match.solve_window(g0, o0, geo, max_dist, pts, msk,
+                                    cand_pose, one_iter)
+            e0 = rmse_window(g0, o0, pts, msk, r0.state)
+            g1, o1 = window_for(map_state, ref_xy_cand_rot)
+            r1 = match.solve_window(g1, o1, geo, max_dist, pts, msk,
+                                    ref_xy_cand_rot, one_iter)
+            e1 = rmse_window(g1, o1, pts, msk, r1.state)
+
+            take0 = e0 < e1
+            init = jnp.where(take0, r0.state, r1.state)
+            grid = jnp.where(take0, g0, g1)
+            org = jnp.where(take0, o0, o1)
+            res = match.solve_window(grid, org, geo, max_dist, pts, msk,
+                                     init, full)
+            err = rmse_window(grid, org, pts, msk, res.state)
+            return res.state, err
+
+        self._jit_correlate = jax.jit(correlate)
+
+        # ---- coarse fallback: throwaway 0.25 m field (cpp:357-392) --------
+        coarse_res = 0.25
+        coarse_geo = MapGeometry(coarse_res, 5, False)
+        coarse_l2 = 2.5
+        coarse_r = int(math.ceil(coarse_l2 / coarse_res))
+        side = 2 * int(math.ceil(
+            (cfg.max_range + coarse_l2 + 2.0) / coarse_res))
+
+        def coarse(map_state, ref_pose, ref_pts, ref_msk, cand_pose,
+                   pts, msk):
+            # rasterize ref cloud (world frame via ref_pose) as obstacles
+            hits = lie.se2_apply(ref_pose, ref_pts)
+            center = coarse_geo.w2m(ref_pose[:2])
+            org = center - side // 2
+            loc = coarse_geo.w2m(hits) - org
+            ok = (ref_msk & (loc[:, 0] >= 0) & (loc[:, 0] < side) &
+                  (loc[:, 1] >= 0) & (loc[:, 1] < side))
+            obst = jnp.zeros((side, side), bool)
+            obst = obst.at[jnp.clip(loc[:, 1], 0, side - 1),
+                           jnp.clip(loc[:, 0], 0, side - 1)].max(ok)
+            d2 = dist_mod.edt2d(obst, coarse_r * coarse_r, coarse_r)
+            cgrid = jnp.sqrt(d2.astype(jnp.float32)) * coarse_res
+            cmax = float(coarse_r * coarse_res)
+            r0 = match.solve_window(cgrid, org, coarse_geo, cmax, pts, msk,
+                                    cand_pose, full)
+            # refine on the live map
+            g1, o1 = window_for(map_state, r0.state)
+            res = match.solve_window(g1, o1, geo, max_dist, pts, msk,
+                                     r0.state, full)
+            err = rmse_window(g1, o1, pts, msk, res.state)
+            return res.state, err
+
+        self._jit_coarse = jax.jit(coarse)
+
+    # -- main update (graph_slam2d.cpp:188-283) ------------------------------
+    def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
+               timestamp: float = 0.0) -> bool:
+        opts = self.options
+        if self._odom0 is None:
+            self._odom0 = odometry
+        did = self.slam.update(cloud, odometry, timestamp)
+        if not did:
+            return False
+        if self._jit_correlate is None:
+            self._build_kernels()
+
+        # 2. key-pose gate
+        cur = self.slam.pose()
+        if self._prev_key is not None:
+            diff = self._prev_key - cur
+            if (np.linalg.norm(diff.xy()) < opts.key_pose_distance and
+                    abs(diff.rotation()) < opts.key_pose_angular_distance):
+                return True
+        else:
+            diff = Pose2D()
+        self._prev_key = cur
+
+        keyid = len(self.key_poses)
+        corrected = self.correction + cur
+        points, mask, origin = pad_scan(cloud, self.slam._max_beams)
+
+        if keyid == 0:
+            self._builder.add_prior(0, corrected.se2_array(),
+                                    (0.01, 0.01, 0.01))
+        else:
+            self.accdist += float(np.linalg.norm(diff.xy()))
+            self.factordist += float(np.linalg.norm(diff.xy()))
+            between = self.key_poses[-1].pose - corrected
+            self._builder.add_between(keyid - 1, keyid, between.se2_array(),
+                                      (0.25, 0.25, 0.15))
+
+        self.key_poses.append(KeyPose(keyid, corrected, cur, points, mask,
+                                      origin, timestamp))
+
+        if (keyid < opts.key_pose_head_delay or
+                keyid < opts.ignore_n_chain_poses):
+            return True
+
+        # 5. loop-closure search (adaptive radius, cpp:236-237)
+        r = min(self.accdist, 100.0) / 100.0
+        radius = (opts.loop_search_max_distance ** r *
+                  opts.loop_search_min_distance ** (1.0 - r))
+        query_id = keyid - opts.key_pose_head_delay
+        query = self.key_poses[query_id].pose
+
+        candidates = self._find_candidates(query.xy(), radius, query_id)
+
+        accepted = False
+        for rank, cand_id in enumerate(candidates):
+            state, err = self._correlate(query_id, cand_id)
+            if err > opts.loop_closure_scan_rmse:
+                if rank == 0:
+                    state, err = self._coarse_correlate(query_id, cand_id)
+                    if err > opts.loop_closure_scan_rmse * 2.0:
+                        continue
+                else:
+                    continue
+            # between = matched^-1 * ref (cpp:353 with Pose2D operator-)
+            matched = Pose2D.from_se2_array(np.asarray(state))
+            ref_pose = (Pose2D() - self.correction) + self.key_poses[
+                query_id].pose
+            between = matched - ref_pose
+            self._builder.add_between(cand_id, query_id,
+                                      between.se2_array(), (0.5, 0.5, 0.1),
+                                      huber_k=0.1)
+            self.links.append((cand_id, query_id))
+            self._factor_queue += 1
+            self.factordist = 0.0
+            accepted = True
+            break   # only one factor per update (cpp:273)
+
+        if (self._factor_queue == 0 or
+                (self._factor_queue <= 5 and self.factordist <= 15.0)):
+            return True
+
+        self.optimize_pose_graph()
+        self.factordist = 0.0
+        return True
+
+    # -- helpers -------------------------------------------------------------
+    def _find_candidates(self, query_xy, radius, query_id):
+        """nanoflann radius query equivalent (cpp:284-313): brute-force
+        distances, excluding the most recent chain poses."""
+        n_ignore = self.options.ignore_n_chain_poses
+        limit = len(self.key_poses) - n_ignore
+        if limit <= 0:
+            return []
+        xy = np.array([kp.pose.xy() for kp in self.key_poses[:limit]])
+        d = np.linalg.norm(xy - np.asarray(query_xy), axis=1)
+        order = np.argsort(d)
+        sel = [int(i) for i in order if d[i] <= radius and i != query_id]
+        return sel[:self.options.loop_max_candidates]
+
+    def _correlate(self, query_id, cand_id):
+        inv_corr = Pose2D() - self.correction
+        ref_pose = inv_corr + self.key_poses[query_id].pose
+        cand_pose = inv_corr + self.key_poses[cand_id].pose
+        hypo1 = Pose2D(ref_pose.x(), ref_pose.y(), cand_pose.rotation())
+        kp = self.key_poses[cand_id]
+        state, err = self._jit_correlate(
+            self.slam.map, _se2(cand_pose), _se2(hypo1),
+            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask))
+        return state, float(err)
+
+    def _coarse_correlate(self, query_id, cand_id):
+        inv_corr = Pose2D() - self.correction
+        ref_pose = inv_corr + self.key_poses[query_id].pose
+        cand_pose = inv_corr + self.key_poses[cand_id].pose
+        ref = self.key_poses[query_id]
+        kp = self.key_poses[cand_id]
+        state, err = self._jit_coarse(
+            self.slam.map, _se2(ref_pose), jnp.asarray(ref.points[:, :2]),
+            jnp.asarray(ref.mask), _se2(cand_pose),
+            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask))
+        return state, float(err)
+
+    def optimize_pose_graph(self) -> None:
+        """cpp:394-430."""
+        n = len(self.key_poses)
+        graph = self._builder.finalize()
+        n_pad = fg.GraphBuilder._bucket(n)
+        nodes = np.tile(np.array([0, 0, 1, 0], np.float32), (n_pad, 1))
+        for i, kp in enumerate(self.key_poses):
+            nodes[i] = kp.pose.se2_array()
+        active = np.zeros(n_pad, bool)
+        active[:n] = True
+        out, info = fg.optimize(jnp.asarray(nodes), graph,
+                                jnp.asarray(active))
+        out = np.asarray(out)
+        if not np.isfinite(out[:n]).all():
+            return
+        for i in range(n):
+            self.key_poses[i] = self.key_poses[i]._replace(
+                pose=Pose2D.from_se2_array(out[i]))
+        # correction rebase (cpp:416-425): C = B * A^-1; correction = C^-1
+        A = self.key_poses[-1].pose
+        B = self.slam.pose()
+        self.correction = A + (Pose2D() - B)   # A * B^-1
+        self._factor_queue = 0
+        self.accdist = 0.0
+
+    # -- map regeneration (cpp:131-186) --------------------------------------
+    def generate_occupancy_map(self) -> mapping.SlamMapState:
+        """Re-rasterize all key-pose clouds at their optimized poses."""
+        cfg = dataclasses.replace(self.slam.cfg, capacity=4 * self.slam.cfg.capacity)
+        state = mapping.slam_map_init(cfg)
+        step = jax.jit(lambda s, p, pts, msk, org: mapping.update_maps(
+            s, cfg, p, pts, msk, org)[0], donate_argnums=(0,))
+        for kp in self.key_poses:
+            state = step(state, _se2(kp.pose), jnp.asarray(kp.points),
+                         jnp.asarray(kp.mask), jnp.asarray(kp.origin))
+        return state
+
+    def generate_coarse_distance_map(self, resolution: float = 0.1,
+                                     l2_max: float = 5.0):
+        """Coarse DDM over all key poses (cpp:166-186): returns a standalone
+        DistanceMapState built by rasterizing key-pose clouds as obstacles."""
+        geo = MapGeometry(resolution, 5, False)
+        dcfg = dist_mod.DistanceConfig(geo, l2_max)
+        # dense-world extent from key poses
+        all_pts = []
+        for kp in self.key_poses:
+            c, s = np.cos(kp.pose.rotation()), np.sin(kp.pose.rotation())
+            R = np.array([[c, -s], [s, c]])
+            pts = kp.points[kp.mask][:, :2] @ R.T + kp.pose.xy()
+            all_pts.append(pts)
+        return geo, dcfg, np.concatenate(all_pts) if all_pts else np.zeros((0, 2))

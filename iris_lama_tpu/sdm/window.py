@@ -16,6 +16,7 @@ patch-block tensors are [py, px, ly, lx].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .geometry import MapGeometry, PKEY_BITS
@@ -39,21 +40,34 @@ def window_patch_keys(geo: MapGeometry, org_cell, wp: int):
     return (px[None, :] << PKEY_BITS) | py[:, None]
 
 
+def select_rows_matmul(arr2d, idx):
+    """arr2d[idx] via one-hot matmul (TPU has no hardware gather; row
+    selection rides the MXU instead). arr2d [M, K] any dtype -> f32 [N, K]."""
+    m = arr2d.shape[0]
+    oh = (idx[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
+    return jax.lax.dot_general(oh, arr2d.astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def gather_window(table, arr, keys, default):
     """Gather a dense [wp*L, wp*L] grid from pool array ``arr`` [P+1, L, L].
 
     Missing patches are filled with ``default``. Returns (grid, slots) where
     slots is int32[wp, wp] (-1 for missing) for reuse by the writeback.
+    Patch blocks are pulled with a one-hot matmul (MXU) rather than a
+    serialized gather.
     """
     wp = keys.shape[0]
     length = arr.shape[-1]
     slots = pool_mod.table_lookup(table, keys)             # [wp, wp]
-    safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1)
-    blocks = arr[safe]                                     # [wp, wp, L, L]
+    safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
+    flat = select_rows_matmul(arr.reshape(arr.shape[0], -1), safe)
+    blocks = flat.reshape(wp, wp, length, length)
     blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
-                       jnp.asarray(default, arr.dtype))
+                       jnp.float32(default))
     grid = blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length)
-    return grid, slots
+    return grid.astype(arr.dtype), slots
 
 
 def scatter_window(arr, slots, grid, write_mask=None):

@@ -1,0 +1,70 @@
+"""GraphSlam2D end-to-end: key-pose chain, loop closure, optimization."""
+
+import numpy as np
+
+from iris_lama_tpu.algos.graph_slam2d import (GraphSlam2D,
+                                              GraphSlam2DOptions)
+from iris_lama_tpu.algos.slam2d import Slam2DOptions
+from iris_lama_tpu.core.pose import Pose2D
+from iris_lama_tpu.utils import simulator
+from iris_lama_tpu.utils.evaluation import ate_rmse
+import dataclasses
+
+
+def test_graph_slam_loop():
+    cfg = simulator.SimConfig(
+        n_steps=300, seed=8,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0),
+        odom_trans_noise=0.02, odom_rot_noise=0.004)
+    data = simulator.simulate(cfg)
+
+    slam_opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                              trans_thresh=0.25, rot_thresh=0.25,
+                              capacity=4096, transient_map=True)
+    opts = GraphSlam2DOptions(slam=slam_opts,
+                              ignore_n_chain_poses=10,
+                              key_pose_head_delay=3,
+                              loop_closure_scan_rmse=0.12)
+    gs = GraphSlam2D(opts)
+    gs.set_prior(Pose2D(*data.poses_gt[0]))
+
+    est, gt = [], []
+    for k in range(cfg.n_steps):
+        if gs.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
+            est.append(gs.pose().xyr())
+            gt.append(data.poses_gt[k])
+
+    assert len(gs.key_poses) > 20, len(gs.key_poses)
+    ate = ate_rmse(np.asarray(est), np.asarray(gt))
+    assert ate < 0.25, (ate, len(gs.links))
+
+    # key-pose chain covers the trajectory
+    kp_xy = np.array([kp.pose.xy() for kp in gs.key_poses])
+    assert np.ptp(kp_xy[:, 0]) > 15  # spans the office loop
+
+
+def test_graph_slam_optimize_preserves_consistency():
+    # run a shorter segment, force an optimize, check chain consistency
+    cfg = simulator.SimConfig(
+        n_steps=120, seed=9,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0))
+    data = simulator.simulate(cfg)
+    slam_opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                              trans_thresh=0.25, rot_thresh=0.25,
+                              capacity=4096)
+    gs = GraphSlam2D(GraphSlam2DOptions(slam=slam_opts))
+    gs.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(cfg.n_steps):
+        gs.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+    n = len(gs.key_poses)
+    assert n >= 5
+    before = [kp.pose.xyr().copy() for kp in gs.key_poses]
+    gs.optimize_pose_graph()
+    after = [kp.pose.xyr() for kp in gs.key_poses]
+    # with a consistent chain (no loops), optimization barely moves poses
+    for b, a in zip(before, after):
+        assert np.linalg.norm(b[:2] - a[:2]) < 0.2
+
+    # regenerated map covers the visited area
+    state = gs.generate_occupancy_map()
+    assert int(state.table.num_patches()) > 10
