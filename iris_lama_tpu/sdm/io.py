@@ -1,0 +1,312 @@
+"""Binary sparse-dense map IO — the reference's versioned .smd format.
+
+reference: include/lama/sdm/map.h:95-103 (IOHeader), src/sdm/map.cpp:490-575
+(write/read), src/sdm/container.cpp:139-175 (per-patch payload: raw cells +
+allocation bitmask). Byte-compatible: a map written here parses with LaMa's
+``Map::read`` and vice-versa.
+
+Layout (little-endian):
+* header (32 B with C padding): u32 magic '.smd', u16 version 0x0103, pad2,
+  u32 cell_size, u32 patch_length, u64 num_patches, f32 resolution,
+  u8 is_3d, pad3;
+* subclass parameters (``writeParameters``: DynamicDistanceMap writes
+  u32 max_sqdist, src/sdm/dynamic_distance_map.cpp:200-208; occupancy maps
+  write nothing);
+* per patch: u64 patch id (UNIVERSAL_CONSTANT coordinates) + raw cells
+  (patch_volume * cell_size, y-major like m2c) + occupancy bitmask
+  (max(patch_volume/64, 1) u64 words).
+
+Patch-id coordinate conversion: the reference centers map coordinates at
+``(UNIVERSAL_CONSTANT/2) * patch_length`` (map.cpp:55-58); this build centers
+at ``CENTER_PATCH * patch_length`` (sdm/geometry.py). IDs are translated
+between the two conventions on write/read.
+
+Cell structs (reference layouts reproduced with numpy dtypes):
+* SimpleOccupancyMap: int8;
+* FrequencyOccupancyMap: {u16 occupied, u16 visited};
+* DynamicDistanceMap: {3 x i16 obstacle offset, u16 sqdist,
+  u8 valid_obstacle, u8 is_queued} (10 B). Offsets are reconstructed from
+  the obstacle mask with an exact EDT at write time (this build persists
+  only distances).
+
+All host-side (numpy); IO is not a hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from scipy import ndimage
+
+from . import distance as dist_mod
+from . import mapping as mapping_mod
+from . import occupancy as occ_mod
+from . import pool as pool_mod
+from .geometry import MapGeometry, CENTER_PATCH
+
+MAGIC = 0x6D64732E       # '.smd' (map.h:72)
+IO_VERSION = 0x0103      # map.h:75
+UNIVERSAL_CONSTANT = 2642244  # map.h:68
+
+_HEADER = struct.Struct("<IH2xIIQf?3x")
+
+FREQ_DTYPE = np.dtype([("occupied", "<u2"), ("visited", "<u2")])
+DIST_DTYPE = np.dtype([("ox", "<i2"), ("oy", "<i2"), ("oz", "<i2"),
+                       ("sqdist", "<u2"), ("valid", "u1"), ("queued", "u1")])
+
+
+def _active_patches(table: pool_mod.PatchTable):
+    """[(our_key, slot)] for every allocated patch (host)."""
+    keys, mask = np.asarray(pool_mod.active_keys(table)[0]), None
+    mask = np.asarray(pool_mod.active_slot_mask(table))
+    out = []
+    for slot in np.nonzero(mask)[0]:
+        out.append((int(keys[slot]), int(slot)))
+    return out
+
+
+def _key_to_ref_id(key: int, geo: MapGeometry) -> int:
+    px = key >> 15
+    py = key & 0x7FFF
+    rpx = px - CENTER_PATCH + (UNIVERSAL_CONSTANT >> 1)
+    rpy = py - CENTER_PATCH + (UNIVERSAL_CONSTANT >> 1)
+    return rpx * UNIVERSAL_CONSTANT + rpy
+
+
+def _ref_id_to_key(idx: int) -> int:
+    rpx, rpy = divmod(idx, UNIVERSAL_CONSTANT)
+    px = rpx - (UNIVERSAL_CONSTANT >> 1) + CENTER_PATCH
+    py = rpy - (UNIVERSAL_CONSTANT >> 1) + CENTER_PATCH
+    if not (0 <= px < (1 << 15) and 0 <= py < (1 << 15)):
+        raise ValueError(f"patch id {idx} outside this build's world range")
+    return (px << 15) | py
+
+
+def _write_patches(f, geo: MapGeometry, patches, cell_bytes_fn, mask_fn):
+    length = geo.patch_length
+    volume = geo.patch_volume
+    words = max(volume >> 6, 1)
+    for key, slot in patches:
+        f.write(struct.pack("<Q", _key_to_ref_id(key, geo)))
+        f.write(cell_bytes_fn(slot))
+        bits = np.asarray(mask_fn(slot), bool).reshape(-1)  # y-major
+        packed = np.packbits(bits, bitorder="little")
+        packed = np.pad(packed, (0, words * 8 - len(packed)))
+        f.write(packed.tobytes())
+
+
+def _read_header(f, expect_cell_size: int):
+    magic, version, cell_size, patch_length, n, resolution, is_3d = \
+        _HEADER.unpack(f.read(_HEADER.size))
+    if magic != MAGIC or version != IO_VERSION:
+        raise ValueError("not a .smd map or unsupported version")
+    if cell_size != expect_cell_size:
+        raise ValueError(f"cell size mismatch: {cell_size} != {expect_cell_size}")
+    return patch_length, n, resolution, bool(is_3d)
+
+
+# ---------------------------------------------------------------------------
+# SimpleOccupancyMap
+# ---------------------------------------------------------------------------
+
+def write_simple_occupancy(state: occ_mod.SimpleOccupancyState,
+                           geo: MapGeometry, path: str) -> None:
+    cells = np.asarray(state.cells)
+    patches = _active_patches(state.table)
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, IO_VERSION, 1, geo.patch_length,
+                             len(patches), geo.resolution, geo.is_3d))
+        _write_patches(f, geo, patches,
+                       lambda s: cells[s].astype(np.int8).tobytes(),
+                       lambda s: cells[s] != 0)
+
+
+def read_simple_occupancy(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    with open(path, "rb") as f:
+        patch_length, n, resolution, is_3d = _read_header(f, 1)
+        geo = MapGeometry(resolution, int(np.log2(patch_length)), is_3d)
+        volume = geo.patch_volume
+        words = max(volume >> 6, 1)
+        state = occ_mod.simple_init(occ_mod.OccupancyConfig(geo, capacity))
+        cells = np.zeros(np.asarray(state.cells).shape, np.int8)
+        keys, blocks = [], []
+        for _ in range(n):
+            (idx,) = struct.unpack("<Q", f.read(8))
+            data = np.frombuffer(f.read(volume), np.int8)
+            f.read(words * 8)  # mask (allocation bitmask, not needed)
+            keys.append(_ref_id_to_key(idx))
+            blocks.append(data.reshape(patch_length, patch_length))
+        table = state.table
+        if keys:
+            table, slots = pool_mod.table_insert(
+                table, jnp.asarray(np.asarray(keys, np.int32)))
+            for s, b in zip(np.asarray(slots), blocks):
+                cells[int(s)] = b
+        return occ_mod.SimpleOccupancyState(table, jnp.asarray(cells)), geo
+
+
+# ---------------------------------------------------------------------------
+# FrequencyOccupancyMap
+# ---------------------------------------------------------------------------
+
+def write_frequency_occupancy(state, geo: MapGeometry, path: str) -> None:
+    """Accepts FrequencyOccupancyState or the fused SlamMapState."""
+    occ = np.asarray(state.occupied)
+    vis = np.asarray(state.visited)
+    patches = _active_patches(state.table)
+
+    def cell_bytes(slot):
+        rec = np.zeros(geo.patch_volume, FREQ_DTYPE)
+        rec["occupied"] = occ[slot].reshape(-1)
+        rec["visited"] = vis[slot].reshape(-1)
+        return rec.tobytes()
+
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, IO_VERSION, FREQ_DTYPE.itemsize,
+                             geo.patch_length, len(patches), geo.resolution,
+                             geo.is_3d))
+        _write_patches(f, geo, patches, cell_bytes,
+                       lambda s: vis[s] > 0)
+
+
+def read_frequency_occupancy(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    with open(path, "rb") as f:
+        patch_length, n, resolution, is_3d = _read_header(
+            f, FREQ_DTYPE.itemsize)
+        geo = MapGeometry(resolution, int(np.log2(patch_length)), is_3d)
+        volume = geo.patch_volume
+        words = max(volume >> 6, 1)
+        state = occ_mod.frequency_init(occ_mod.OccupancyConfig(geo, capacity))
+        occ = np.zeros(np.asarray(state.occupied).shape, np.uint16)
+        vis = np.zeros_like(occ)
+        keys, blocks = [], []
+        for _ in range(n):
+            (idx,) = struct.unpack("<Q", f.read(8))
+            rec = np.frombuffer(f.read(volume * FREQ_DTYPE.itemsize),
+                                FREQ_DTYPE)
+            f.read(words * 8)
+            keys.append(_ref_id_to_key(idx))
+            blocks.append(rec)
+        table = state.table
+        if keys:
+            table, slots = pool_mod.table_insert(
+                table, jnp.asarray(np.asarray(keys, np.int32)))
+            for s, rec in zip(np.asarray(slots), blocks):
+                occ[int(s)] = rec["occupied"].reshape(patch_length, -1)
+                vis[int(s)] = rec["visited"].reshape(patch_length, -1)
+        return (occ_mod.FrequencyOccupancyState(table, jnp.asarray(occ),
+                                                jnp.asarray(vis)), geo)
+
+
+# ---------------------------------------------------------------------------
+# DynamicDistanceMap
+# ---------------------------------------------------------------------------
+
+def _dense_region(patches, geo: MapGeometry):
+    """Bounding patch box of the active set -> (origin patch xy, size)."""
+    px = np.array([k >> 15 for k, _ in patches])
+    py = np.array([k & 0x7FFF for k, _ in patches])
+    return (px.min(), py.min()), (px.max() - px.min() + 1,
+                                  py.max() - py.min() + 1)
+
+
+def write_distance_map(state, geo: MapGeometry, l2_max: float,
+                       path: str) -> None:
+    """Accepts DistanceMapState or the fused SlamMapState (obstacle+dist).
+
+    Nearest-obstacle offsets (discarded by this build) are reconstructed
+    exactly from the obstacle mask with scipy's EDT at write time.
+    """
+    dcfg = dist_mod.DistanceConfig(geo, l2_max)
+    obstacle = np.asarray(state.obstacle)
+    patches = _active_patches(state.table)
+    length = geo.patch_length
+    if not patches:
+        with open(path, "wb") as f:
+            f.write(_HEADER.pack(MAGIC, IO_VERSION, DIST_DTYPE.itemsize,
+                                 length, 0, geo.resolution, geo.is_3d))
+            f.write(struct.pack("<I", dcfg.max_sqdist))
+        return
+
+    (ox, oy), (nx, ny) = _dense_region(patches, geo)
+    dense = np.zeros((ny * length, nx * length), bool)   # [y, x]
+    for key, slot in patches:
+        px, py = (key >> 15) - ox, (key & 0x7FFF) - oy
+        dense[py * length:(py + 1) * length,
+              px * length:(px + 1) * length] = obstacle[slot]
+
+    ind = ndimage.distance_transform_edt(~dense, return_indices=True)[1]
+    yy, xx = np.mgrid[0:dense.shape[0], 0:dense.shape[1]]
+    off_y = ind[0] - yy
+    off_x = ind[1] - xx
+    sq = off_x * off_x + off_y * off_y
+    has_obst = dense.any()
+    valid = (sq < dcfg.max_sqdist) if has_obst else np.zeros_like(dense)
+
+    def cell_bytes(slot_key):
+        key, slot = slot_key
+        px, py = (key >> 15) - ox, (key & 0x7FFF) - oy
+        sl = np.s_[py * length:(py + 1) * length,
+                   px * length:(px + 1) * length]
+        rec = np.zeros(geo.patch_volume, DIST_DTYPE)
+        v = valid[sl].reshape(-1)
+        rec["ox"] = np.where(v, off_x[sl].reshape(-1), 0)
+        rec["oy"] = np.where(v, off_y[sl].reshape(-1), 0)
+        rec["sqdist"] = np.where(v, sq[sl].reshape(-1), 0)
+        rec["valid"] = v
+        return rec.tobytes()
+
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, IO_VERSION, DIST_DTYPE.itemsize,
+                             length, len(patches), geo.resolution, geo.is_3d))
+        # writeParameters (dynamic_distance_map.cpp:200-203)
+        f.write(struct.pack("<I", dcfg.max_sqdist))
+        for key, slot in patches:
+            f.write(struct.pack("<Q", _key_to_ref_id(key, geo)))
+            f.write(cell_bytes((key, slot)))
+            bits = np.ones(geo.patch_volume, bool)
+            packed = np.packbits(bits, bitorder="little")
+            words = max(geo.patch_volume >> 6, 1)
+            packed = np.pad(packed, (0, words * 8 - len(packed)))
+            f.write(packed.tobytes())
+
+
+def read_distance_map(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    with open(path, "rb") as f:
+        patch_length, n, resolution, is_3d = _read_header(
+            f, DIST_DTYPE.itemsize)
+        geo = MapGeometry(resolution, int(np.log2(patch_length)), is_3d)
+        (max_sqdist,) = struct.unpack("<I", f.read(4))
+        l2_max = np.sqrt(max_sqdist) * resolution
+        dcfg = dist_mod.DistanceConfig(geo, float(l2_max))
+        volume = geo.patch_volume
+        words = max(volume >> 6, 1)
+        state = dist_mod.distance_map_init(dcfg, capacity)
+        dist = np.full(np.asarray(state.dist).shape, dcfg.max_dist,
+                       np.float32)
+        obst = np.zeros(np.asarray(state.obstacle).shape, bool)
+        keys, blocks = [], []
+        for _ in range(n):
+            (idx,) = struct.unpack("<Q", f.read(8))
+            rec = np.frombuffer(f.read(volume * DIST_DTYPE.itemsize),
+                                DIST_DTYPE)
+            f.read(words * 8)
+            keys.append(_ref_id_to_key(idx))
+            blocks.append(rec)
+        table = state.table
+        if keys:
+            table, slots = pool_mod.table_insert(
+                table, jnp.asarray(np.asarray(keys, np.int32)))
+            for s, rec in zip(np.asarray(slots), blocks):
+                sq = np.where(rec["valid"] > 0, rec["sqdist"],
+                              max_sqdist).astype(np.float64)
+                dist[int(s)] = (np.sqrt(np.minimum(sq, max_sqdist)) *
+                                resolution).reshape(patch_length, -1)
+                obst[int(s)] = ((rec["valid"] > 0) &
+                                (rec["sqdist"] == 0)).reshape(patch_length, -1)
+        return (dist_mod.DistanceMapState(table, jnp.asarray(obst),
+                                          jnp.asarray(dist)), dcfg)
