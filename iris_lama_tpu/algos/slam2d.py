@@ -64,6 +64,8 @@ class Slam2DOptions:
             max_range=self.max_range,
             pose_slack=self.pose_slack,
             capacity=self.capacity,
+            transient=self.transient_map,
+            transient_expand=2.0,       # slam2d.cpp:335-340
         )
 
     def solver_options(self) -> SolverOptions:
@@ -73,11 +75,21 @@ class Slam2DOptions:
 
 
 def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
+    """Build the fused per-scan device programs.
+
+    The driver keeps the pose ON DEVICE between scans — remote-TPU tunnels
+    pay tens of ms per device->host transfer, so the step takes the previous
+    device pose plus the (tiny, host-computed) odometry delta, and appends
+    the matched pose into a device-side trajectory ring; the host only pulls
+    poses when explicitly asked.
+    """
     geo = cfg.geometry
     max_dist = cfg.distance.max_dist
     wp = cfg.window_patches
 
-    def step(state, pose0, points, mask, origin):
+    def step(state, pose_prev, odelta, points, mask, origin, traj, k):
+        # predict from odometry (slam2d.cpp:163-166) on device
+        pose0 = lie.se2_compose(pose_prev, odelta)
         org = win_mod.window_org(geo, geo.w2m(pose0[:2]), wp)
         keys = win_mod.window_patch_keys(geo, org, wp)
         grid, _ = win_mod.gather_window(state.table, state.dist, keys,
@@ -88,39 +100,63 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
                                               mask, origin, org)
         info["iterations"] = res.iterations
         info["chi2"] = res.chi2
-        return new_state, res.state, info
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)
+        return new_state, res.state, traj, info
 
     def first_step(state, pose0, points, mask, origin):
         return mapping.update_maps(state, cfg, pose0, points, mask, origin)
 
-    return jax.jit(step, donate_argnums=(0,)), jax.jit(first_step,
-                                                       donate_argnums=(0,))
+    return (jax.jit(step, donate_argnums=(0, 6)),
+            jax.jit(first_step, donate_argnums=(0,)))
 
 
 class Slam2D:
     """Host driver; mirrors the reference public API (slam2d.h:127-176)."""
+
+    TRAJ_CAP = 16384   # device-side trajectory ring capacity
 
     def __init__(self, options: Slam2DOptions = Slam2DOptions()):
         self.options = options
         self.cfg = options.mapping_config()
         self.sopts = options.solver_options()
         self.map = mapping.slam_map_init(self.cfg)
-        self.pose_ = Pose2D()
         self.odom_ = Pose2D()
         self.has_first_scan = False
         self.summary: Optional[Summary] = (
             Summary() if options.create_summary else None)
         self._max_beams = options.max_beams
         self._step = None
-        self._last_info = {}
+        self._last_info_dev = {}
         self._first = None
+        # pose lives on device; host copy is refreshed lazily
+        self._pose_dev = jnp.asarray(Pose2D().se2_array())
+        self._pose_host: Optional[Pose2D] = Pose2D()
+        self._traj = jnp.zeros((self.TRAJ_CAP, 4), jnp.float32)
+        self._n_updates = 0
 
     # -- reference API ------------------------------------------------------
     def set_prior(self, prior: Pose2D) -> None:
-        self.pose_ = prior
+        self._pose_dev = jnp.asarray(prior.se2_array())
+        self._pose_host = prior
 
     def pose(self) -> Pose2D:
-        return self.pose_
+        """Current pose (syncs device->host when stale)."""
+        if self._pose_host is None:
+            self._pose_host = Pose2D.from_se2_array(
+                np.asarray(self._pose_dev))
+        return self._pose_host
+
+    def trajectory(self) -> np.ndarray:
+        """All matched poses so far, [n, 3] xyr — one device pull."""
+        n = min(self._n_updates, self.TRAJ_CAP)
+        t = np.asarray(self._traj[:n])
+        return np.stack([t[:, 0], t[:, 1],
+                         np.arctan2(t[:, 3], t[:, 2])], -1)
+
+    @property
+    def _last_info(self):
+        return {k: int(np.asarray(v)) for k, v in self._last_info_dev.items()
+                if k != "chi2"}
 
     def enough_motion(self, odometry: Pose2D) -> bool:
         """slam2d.cpp:130-141."""
@@ -145,35 +181,37 @@ class Slam2D:
 
         if not self.has_first_scan:
             self.odom_ = odometry
-            self.map, _ = self._first(self.map, jnp.asarray(
-                self.pose_.se2_array()), points, mask, origin)
-            jax.block_until_ready(self.map.dist)
+            self.map, _ = self._first(self.map, self._pose_dev, points, mask,
+                                      origin)
+            self._traj = self._traj.at[0].set(self._pose_dev)
+            self._n_updates = 1
             self.has_first_scan = True
             if self.summary:
+                jax.block_until_ready(self.map.dist)
                 dt = time.perf_counter() - t0
                 self.summary.probe(timestamp, dt, mapping=dt,
                                    memory=self.memory_usage())
             return True
 
-        # 1. predict from odometry (slam2d.cpp:163-173)
+        # 1. predict from odometry (slam2d.cpp:163-173); gate is pure
+        #    host-side odometry math — no device sync needed
         odelta = self.odom_ - odometry
-        ppose = self.pose_ + odelta
         if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh and
                 abs(odelta.rotation()) <= self.options.rot_thresh):
             return False
-        self.pose_ = ppose
         self.odom_ = odometry
 
-        # 2-3. optimize + map update (single fused device program)
-        self.map, pose_dev, info = self._step(
-            self.map, jnp.asarray(self.pose_.se2_array()),
-            points, mask, origin)
-        pose_np = np.asarray(jax.block_until_ready(pose_dev))
-        self.pose_ = Pose2D.from_se2_array(pose_np)
-        self._last_info = {k: int(np.asarray(v)) for k, v in info.items()
-                           if k != "chi2"}
+        # 2-3. optimize + map update (single fused device program); the pose
+        # stays on device, host copy goes stale
+        self.map, self._pose_dev, self._traj, info = self._step(
+            self.map, self._pose_dev, jnp.asarray(odelta.se2_array()),
+            points, mask, origin, self._traj, jnp.int32(self._n_updates))
+        self._pose_host = None
+        self._last_info_dev = info
+        self._n_updates += 1
 
         if self.summary:
+            jax.block_until_ready(self._pose_dev)
             dt = time.perf_counter() - t0
             self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
                                memory=self.memory_usage())

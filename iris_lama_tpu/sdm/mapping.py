@@ -67,6 +67,10 @@ class MappingConfig:
     max_range: float = 10.0     # beams beyond this are dropped by the driver
     pose_slack: float = 2.0     # window margin for match-vs-predict motion
     capacity: int = 4096        # patch pool capacity
+    occ_model: str = "frequency"   # "frequency" | "probabilistic"
+    transient: bool = False     # prune patches outside the scan AABB
+    transient_expand: float = 2.0  # slam2d.cpp:335-340 uses 2x; lidar odom 1x
+    max_removals: int = 160     # per-scan prune budget (rest removed later)
 
     @property
     def distance(self) -> DistanceConfig:
@@ -98,10 +102,17 @@ class MappingConfig:
 
 
 class SlamMapState(NamedTuple):
-    """Shared-table fused map (see module docstring)."""
+    """Shared-table fused map (see module docstring).
+
+    For occ_model="frequency": occupied/visited are u16 hit/visit counts
+    (frequency_occupancy_map.h). For "probabilistic": ``occupied`` holds f32
+    log-odds and ``visited`` the visit count (used for the unknown test),
+    matching ProbabilisticOccupancyMap's cell semantics
+    (probabilistic_occupancy_map.cpp:38-59).
+    """
 
     table: pool_mod.PatchTable
-    occupied: jax.Array   # u16[P+1, L, L]
+    occupied: jax.Array   # u16 counts | f32 log-odds  [P+1, L, L]
     visited: jax.Array    # u16[P+1, L, L]
     obstacle: jax.Array   # bool[P+1, L, L]
     dist: jax.Array       # f32[P+1, L, L] meters
@@ -110,9 +121,10 @@ class SlamMapState(NamedTuple):
 def slam_map_init(cfg: MappingConfig) -> SlamMapState:
     length = cfg.geometry.patch_length
     p1 = cfg.capacity + 1
+    occ_dtype = OCC_DTYPE if cfg.occ_model == "frequency" else jnp.float32
     return SlamMapState(
         table=pool_mod.table_init(cfg.capacity),
-        occupied=jnp.zeros((p1, length, length), OCC_DTYPE),
+        occupied=jnp.zeros((p1, length, length), occ_dtype),
         visited=jnp.zeros((p1, length, length), OCC_DTYPE),
         obstacle=jnp.zeros((p1, length, length), jnp.bool_),
         dist=jnp.full((p1, length, length), cfg.distance.max_dist, jnp.float32),
@@ -208,13 +220,25 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     occ_add = scatter_counts(hit_loc, hit_ok)
     vis_add = occ_add + scatter_counts(free_loc, free_ok)
 
-    # ---- frequency end-state + obstacle mask -------------------------------
+    # ---- occupancy end-state + obstacle mask -------------------------------
     occ_w, slots = win_mod.gather_window(state.table, state.occupied, keys, 0)
     vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0)
-    occ_new = jnp.minimum(occ_w.astype(jnp.int32) + occ_add, 65535)
     vis_new = jnp.minimum(vis_w.astype(jnp.int32) + vis_add, 65535)
-    # prob > 0.25  <=>  4*occ > vis (frequency_occupancy_map.cpp:40-44)
-    obst_new = (4 * occ_new) > vis_new
+    if cfg.occ_model == "frequency":
+        occ_new = jnp.minimum(occ_w.astype(jnp.int32) + occ_add, 65535)
+        # prob > 0.25  <=>  4*occ > vis (frequency_occupancy_map.cpp:40-44)
+        obst_new = (4 * occ_new) > vis_new
+    else:
+        # log-odds update with end-of-scan clamping
+        # (probabilistic_occupancy_map.cpp:51-59, 82-107)
+        from .occupancy import (PROB_HIT, PROB_MISS, PROB_CLAMP_MIN,
+                                PROB_CLAMP_MAX)
+        misses = (vis_add - occ_add).astype(jnp.float32)
+        occ_new = jnp.clip(
+            occ_w + occ_add.astype(jnp.float32) * PROB_HIT
+            + misses * PROB_MISS, PROB_CLAMP_MIN, PROB_CLAMP_MAX)
+        # occ_thresh_ = 0 log-odds (probabilistic_occupancy_map.cpp:60)
+        obst_new = occ_new > 0.0
 
     # ---- exact windowed EDT ------------------------------------------------
     d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
@@ -244,16 +268,79 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
 
     # ---- patch-blocked writeback ------------------------------------------
     occupied = win_mod.scatter_window(state.occupied, slots,
-                                      occ_new.astype(OCC_DTYPE))
+                                      occ_new.astype(state.occupied.dtype))
     visited = win_mod.scatter_window(state.visited, slots,
                                      vis_new.astype(OCC_DTYPE))
     obstacle = win_mod.scatter_window(state.obstacle, slots, obst_merged)
     dist = win_mod.scatter_window(state.dist, slots, dist_merged)
 
     new_state = SlamMapState(table, occupied, visited, obstacle, dist)
+
+    # ---- transient map: prune patches outside the surface AABB -------------
+    # (slam2d.cpp:323-373 / lidar_odometry_2d.cpp:131-182)
+    if cfg.transient:
+        new_state = _prune_transient(new_state, cfg, pose, g)
+
     info = {
         "processed_cells": jnp.sum(free_ok) + jnp.sum(hit_ok),
-        "num_patches": table.num_patches(),
-        "overflow": table.overflow,
+        "num_patches": new_state.table.num_patches(),
+        "overflow": new_state.table.overflow,
     }
     return new_state, info
+
+
+def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
+                     g: ScanGeometry) -> SlamMapState:
+    """Delete patches whose AABB misses the expanded surface AABB.
+
+    reference: slam2d.cpp:323-373 — surface bounds symmetrized around the
+    pose (x2 expansion for Slam2D, x1 for LidarOdometry2D), grown by twice
+    the distance-map range, tested against each patch's box; survivors stay.
+    """
+    geo = cfg.geometry
+    big = jnp.float32(1e30)
+    m = g.valid[:, None]
+    mn = jnp.min(jnp.where(m, g.hit_xy, big), axis=0)
+    mx = jnp.max(jnp.where(m, g.hit_xy, -big), axis=0)
+    px, py = pose[0], pose[1]
+    xdist = jnp.maximum(px - mn[0], mx[0] - px) * cfg.transient_expand
+    ydist = jnp.maximum(py - mn[1], mx[1] - py) * cfg.transient_expand
+    a_center = jnp.stack([px, py])
+    a_half = jnp.stack([xdist, ydist]) + 2.0 * cfg.distance.max_dist
+
+    keys, active = pool_mod.active_keys(state.table)
+    anchors = geo.p2anchor(keys)                       # [P, 2] cells
+    ws = geo.m2w(anchors)
+    we = geo.m2w(anchors + geo.patch_length)
+    b_center = 0.5 * (ws + we)
+    b_half = 0.5 * (we - ws)
+    sep = jnp.abs(a_center[None, :] - b_center)
+    intersect = jnp.all(sep <= (a_half[None, :] + b_half), axis=-1)
+    remove = jnp.logical_and(active, jnp.logical_not(intersect))
+
+    rm_keys = jnp.nonzero(remove, size=cfg.max_removals,
+                          fill_value=remove.shape[0])[0]
+    rm_keys = jnp.where(rm_keys < remove.shape[0],
+                        keys[jnp.minimum(rm_keys, remove.shape[0] - 1)],
+                        jnp.int32(-1))
+
+    def do_remove(st):
+        table, freed = pool_mod.table_remove(st.table, rm_keys)
+        safe = jnp.where(freed >= 0, freed, st.dist.shape[0] - 1)
+        length = geo.patch_length
+        zero_occ = jnp.zeros((rm_keys.shape[0], length, length),
+                             st.occupied.dtype)
+        zero_vis = jnp.zeros((rm_keys.shape[0], length, length), OCC_DTYPE)
+        zero_obs = jnp.zeros((rm_keys.shape[0], length, length), jnp.bool_)
+        max_d = jnp.full((rm_keys.shape[0], length, length),
+                         cfg.distance.max_dist, jnp.float32)
+        return SlamMapState(
+            table,
+            st.occupied.at[safe].set(zero_occ),
+            st.visited.at[safe].set(zero_vis),
+            st.obstacle.at[safe].set(zero_obs),
+            st.dist.at[safe].set(max_d),
+        )
+
+    return jax.lax.cond(jnp.any(rm_keys >= 0), do_remove, lambda st: st,
+                        state)
