@@ -337,3 +337,17 @@ class PFSlam2D:
         n_p = np.asarray(self.pset.maps.table.num_patches()).sum()
         length = self.options.patch_size
         return int(n_p) * length * length * (2 + 2 + 1 + 4)
+
+    def particle_map(self, idx: Optional[int] = None) -> mapping.SlamMapState:
+        """One particle's fused map (best particle by default) —
+        getOccupancyMap/getDistanceMap (pf_slam2d.h:211-225)."""
+        i = self.best_particle_idx() if idx is None else idx
+        return jax.tree.map(lambda a: a[i], self.pset.maps)
+
+    def save_occ_image(self, path: str) -> None:
+        """saveOccImage (pf_slam2d.cpp:341-346)."""
+        from ..sdm import export as export_mod
+        cfg = self.options.mapping_config()
+        m = self.particle_map()
+        img = export_mod.occupancy_to_image(m, cfg.geometry)
+        export_mod.export_to_png(img, path)

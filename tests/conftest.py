@@ -8,6 +8,8 @@ jax's config defaults. We therefore override the config directly.
 
 import os
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 # XLA_FLAGS is parsed when the CPU backend is instantiated (later than this),
 # so the env route still works for the virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
@@ -19,3 +21,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the e2e tests compile sizable XLA programs;
+# caching them across pytest runs keeps the suite fast.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
