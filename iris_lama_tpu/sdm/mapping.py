@@ -221,8 +221,12 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     vis_add = occ_add + scatter_counts(free_loc, free_ok)
 
     # ---- occupancy end-state + obstacle mask -------------------------------
-    occ_w, slots = win_mod.gather_window(state.table, state.occupied, keys, 0)
-    vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0)
+    # one table probe serves every window gather in this scan
+    slots = pool_mod.table_lookup(state.table, keys)
+    occ_w, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
+                                     slots=slots)
+    vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
+                                     slots=slots)
     vis_new = jnp.minimum(vis_w.astype(jnp.int32) + vis_add, 65535)
     if cfg.occ_model == "frequency":
         occ_new = jnp.minimum(occ_w.astype(jnp.int32) + occ_add, 65535)
@@ -245,7 +249,7 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
 
     dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                        dcfg.max_dist)
+                                        dcfg.max_dist, slots=slots)
     yy = jnp.arange(w)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = ((yy >= radius) & (yy < w - radius) &
@@ -253,7 +257,7 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     dist_merged = jnp.where(interior, dist_new, dist_old)
 
     obst_old, _ = win_mod.gather_window(state.table, state.obstacle, keys,
-                                        False)
+                                        False, slots=slots)
     obst_merged = jnp.where(interior, obst_new, obst_old)
 
     # ---- allocate patches that gained content ------------------------------

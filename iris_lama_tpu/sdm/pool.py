@@ -94,25 +94,81 @@ def _hash(keys, table_size: int):
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
+def _select_rows_2level(arr2d, idx, m1: int = 256):
+    """arr2d[idx] for [M, K] tables with small K, via two one-hot stages.
+
+    TPU has no hardware gather; XLA serializes ``arr2d[idx]`` into per-row
+    dynamic-slices. Two chained one-hot selections (block row on the MXU,
+    then in-block row on the VPU) pull N rows in O(N*M1 + N*M2*K) vector
+    work. Requires M % m1 == 0.
+    """
+    m, k = arr2d.shape
+    m2 = m // m1
+    arr3 = arr2d.reshape(m1, m2 * k).astype(jnp.float32)
+    q = idx // m2
+    r = idx % m2
+    oh1 = (q[:, None] == jnp.arange(m1, dtype=jnp.int32)).astype(jnp.float32)
+    block = jax.lax.dot_general(oh1, arr3, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    block = block.reshape(idx.shape[0], m2, k)
+    oh2 = (r[:, None] == jnp.arange(m2, dtype=jnp.int32)).astype(jnp.float32)
+    return jnp.sum(block * oh2[:, :, None], axis=1)
+
+
+# Below this many queries the matmulized probe path wins over XLA's
+# serialized gather lowering; above it, the one-hot tensors get too large.
+_MM_LOOKUP_MAX = 4096
+
+
 def table_lookup(table: PatchTable, keys):
     """Vectorized lookup. keys int32[...] -> slots int32[...] (-1 = missing).
 
     Probes PROBE_WINDOW consecutive entries at once; an EMPTY entry before a
-    match means the key is absent (tombstones do not stop the probe).
+    match means the key is absent (tombstones do not stop the probe). For
+    small query batches the probe rides the MXU (see _select_rows_2level);
+    large batches fall back to plain gathers.
     """
     hsize = table.table_size
-    base = _hash(keys, hsize)
+    shape = keys.shape
+    flat = keys.reshape(-1)
+    base = _hash(flat, hsize)
     offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+
+    if flat.shape[0] <= _MM_LOOKUP_MAX and hsize >= 1024:
+        # windowed views: TK[i, j] = keys[(i + j) % H]. Keys are split into
+        # 15-bit halves so every value is exact in the f32 matmul pipeline
+        # (arithmetic-shift halves recombine correctly for the negative
+        # EMPTY/TOMBSTONE sentinels too).
+        tk = jnp.stack([jnp.roll(table.keys, -j) for j in range(PROBE_WINDOW)],
+                       axis=1)
+        ts = jnp.stack([jnp.roll(table.slots, -j) for j in range(PROBE_WINDOW)],
+                       axis=1)
+        both = jnp.concatenate([tk >> 15, tk & 0x7FFF, ts], axis=1)  # [H, 3W]
+        sel = _select_rows_2level(both, base)                 # f32 [n, 3W]
+        hi = sel[:, :PROBE_WINDOW].astype(jnp.int32)
+        lo = sel[:, PROBE_WINDOW:2 * PROBE_WINDOW].astype(jnp.int32)
+        probed = hi * 32768 + lo
+        slotsw = sel[:, 2 * PROBE_WINDOW:].astype(jnp.int32)
+        is_match = probed == flat[:, None]
+        is_empty = probed == EMPTY
+        big = jnp.int32(PROBE_WINDOW)
+        first_match = jnp.min(jnp.where(is_match, offs, big), axis=-1)
+        first_empty = jnp.min(jnp.where(is_empty, offs, big), axis=-1)
+        found = first_match < first_empty
+        pick = jnp.sum(jnp.where(is_match, slotsw, 0)
+                       * (offs == first_match[:, None]), axis=-1)
+        return jnp.where(found, pick, EMPTY).reshape(shape)
+
     idx = (base[..., None] + offs) % hsize                    # [..., W]
     probed = table.keys[idx]                                  # [..., W]
-    is_match = probed == keys[..., None]
+    is_match = probed == flat[..., None]
     is_empty = probed == EMPTY
     big = jnp.int32(PROBE_WINDOW)
     first_match = jnp.min(jnp.where(is_match, offs, big), axis=-1)
     first_empty = jnp.min(jnp.where(is_empty, offs, big), axis=-1)
     found = first_match < first_empty
     slot_idx = (base + jnp.minimum(first_match, big - 1)) % hsize
-    return jnp.where(found, table.slots[slot_idx], EMPTY)
+    return jnp.where(found, table.slots[slot_idx], EMPTY).reshape(shape)
 
 
 def table_insert(table: PatchTable, keys):

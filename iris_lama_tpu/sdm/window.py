@@ -50,17 +50,19 @@ def select_rows_matmul(arr2d, idx):
                                preferred_element_type=jnp.float32)
 
 
-def gather_window(table, arr, keys, default):
+def gather_window(table, arr, keys, default, slots=None):
     """Gather a dense [wp*L, wp*L] grid from pool array ``arr`` [P+1, L, L].
 
     Missing patches are filled with ``default``. Returns (grid, slots) where
-    slots is int32[wp, wp] (-1 for missing) for reuse by the writeback.
-    Patch blocks are pulled with a one-hot matmul (MXU) rather than a
-    serialized gather.
+    slots is int32[wp, wp] (-1 for missing) for reuse by the writeback and
+    by further gathers of sibling arrays (pass it back in to skip the table
+    probe). Patch blocks are pulled with a one-hot matmul (MXU) rather than
+    a serialized gather.
     """
     wp = keys.shape[0]
     length = arr.shape[-1]
-    slots = pool_mod.table_lookup(table, keys)             # [wp, wp]
+    if slots is None:
+        slots = pool_mod.table_lookup(table, keys)         # [wp, wp]
     safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
     flat = select_rows_matmul(arr.reshape(arr.shape[0], -1), safe)
     blocks = flat.reshape(wp, wp, length, length)
