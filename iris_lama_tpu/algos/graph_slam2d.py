@@ -360,16 +360,60 @@ class GraphSlam2D:
         return state
 
     def generate_coarse_distance_map(self, resolution: float = 0.1,
-                                     l2_max: float = 5.0):
-        """Coarse DDM over all key poses (cpp:166-186): returns a standalone
-        DistanceMapState built by rasterizing key-pose clouds as obstacles."""
-        geo = MapGeometry(resolution, 5, False)
+                                     l2_max: float = 5.0
+                                     ) -> "tuple[dist_mod.DistanceMapState, dist_mod.DistanceConfig]":
+        """Coarse DDM over all key-pose clouds (cpp:166-186).
+
+        Rasterizes every key-pose cloud as obstacles on a dense grid, runs
+        the exact EDT, and packs the result into a standalone pool-backed
+        DistanceMapState (ready for Loc2D-style queries).
+        """
+        import jax.numpy as jnp
+        from ..sdm import pool as pool_mod
+
+        geo = MapGeometry(resolution, 4, False)
         dcfg = dist_mod.DistanceConfig(geo, l2_max)
-        # dense-world extent from key poses
         all_pts = []
         for kp in self.key_poses:
             c, s = np.cos(kp.pose.rotation()), np.sin(kp.pose.rotation())
             R = np.array([[c, -s], [s, c]])
             pts = kp.points[kp.mask][:, :2] @ R.T + kp.pose.xy()
             all_pts.append(pts)
-        return geo, dcfg, np.concatenate(all_pts) if all_pts else np.zeros((0, 2))
+        state = dist_mod.distance_map_init(dcfg, capacity=4096)
+        if not all_pts:
+            return state, dcfg
+        pts = np.concatenate(all_pts)
+        cells = geo.np_w2m(pts)
+        length = geo.patch_length
+        r = dcfg.radius_cells
+        lo = cells.min(0) - r - length
+        hi = cells.max(0) + r + length
+        lo = (lo >> geo.log2dim) << geo.log2dim          # patch align
+        nx = int(np.ceil((hi[0] - lo[0]) / length)) + 1
+        ny = int(np.ceil((hi[1] - lo[1]) / length)) + 1
+        obst = np.zeros((ny * length, nx * length), bool)
+        obst[cells[:, 1] - lo[1], cells[:, 0] - lo[0]] = True
+        d2 = np.asarray(dist_mod.edt2d(jnp.asarray(obst), dcfg.max_sqdist, r))
+        dist = np.sqrt(d2).astype(np.float32) * resolution
+        # pack non-trivial patches into the pool
+        keys, blocks_d, blocks_o = [], [], []
+        for py in range(ny):
+            for px in range(nx):
+                sl = np.s_[py * length:(py + 1) * length,
+                           px * length:(px + 1) * length]
+                if (d2[sl] < dcfg.max_sqdist).any():
+                    cell = lo + np.array([px * length, py * length])
+                    keys.append(int(np.asarray(geo.m2p(jnp.asarray(cell)))))
+                    blocks_d.append(dist[sl])
+                    blocks_o.append(obst[sl])
+        if keys:
+            table, slots = pool_mod.table_insert(
+                state.table, jnp.asarray(np.asarray(keys, np.int32)))
+            darr = np.asarray(state.dist).copy()
+            oarr = np.asarray(state.obstacle).copy()
+            for s_, bd, bo in zip(np.asarray(slots), blocks_d, blocks_o):
+                darr[int(s_)] = bd
+                oarr[int(s_)] = bo
+            state = dist_mod.DistanceMapState(table, jnp.asarray(oarr),
+                                              jnp.asarray(darr))
+        return state, dcfg
