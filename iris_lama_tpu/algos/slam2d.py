@@ -92,12 +92,13 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
         pose0 = lie.se2_compose(pose_prev, odelta)
         org = win_mod.window_org(geo, geo.w2m(pose0[:2]), wp)
         keys = win_mod.window_patch_keys(geo, org, wp)
-        grid, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                        max_dist)
+        grid, slots = win_mod.gather_window(state.table, state.dist, keys,
+                                            max_dist)
         res = match.solve_window(grid, org, geo, max_dist,
                                  points[:, :2], mask, pose0, sopts)
         new_state, info = mapping.update_maps(state, cfg, res.state, points,
-                                              mask, origin, org)
+                                              mask, origin, org,
+                                              window=(slots, grid))
         info["iterations"] = res.iterations
         info["chi2"] = res.chi2
         traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)

@@ -114,8 +114,13 @@ class SlamMapState(NamedTuple):
     table: pool_mod.PatchTable
     occupied: jax.Array   # u16 counts | f32 log-odds  [P+1, L, L]
     visited: jax.Array    # u16[P+1, L, L]
-    obstacle: jax.Array   # bool[P+1, L, L]
     dist: jax.Array       # f32[P+1, L, L] meters
+
+    @property
+    def obstacle(self):
+        """bool[P+1, L, L]: derived — a cell is an obstacle iff its stored
+        distance is exactly zero (sqdist 0 <=> the cell itself)."""
+        return self.dist == 0.0
 
 
 def slam_map_init(cfg: MappingConfig) -> SlamMapState:
@@ -126,7 +131,6 @@ def slam_map_init(cfg: MappingConfig) -> SlamMapState:
         table=pool_mod.table_init(cfg.capacity),
         occupied=jnp.zeros((p1, length, length), occ_dtype),
         visited=jnp.zeros((p1, length, length), OCC_DTYPE),
-        obstacle=jnp.zeros((p1, length, length), jnp.bool_),
         dist=jnp.full((p1, length, length), cfg.distance.max_dist, jnp.float32),
     )
 
@@ -174,11 +178,13 @@ def beam_geometry(cfg: MappingConfig, pose, points, mask,
 
 
 def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
-                points, mask, origin, org_cell=None):
+                points, mask, origin, org_cell=None, window=None):
     """Apply one scan to the map. Returns (new_state, info dict).
 
     ``org_cell``: optional precomputed window origin (reused from the scan
     matcher so the matcher's gather and this writeback share one window).
+    ``window``: optional (slots, dist_grid) pair already gathered at
+    ``org_cell`` (the scan matcher's window) — skips one probe + one gather.
     """
     geo = cfg.geometry
     length = geo.patch_length
@@ -222,7 +228,11 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
 
     # ---- occupancy end-state + obstacle mask -------------------------------
     # one table probe serves every window gather in this scan
-    slots = pool_mod.table_lookup(state.table, keys)
+    if window is None:
+        slots = pool_mod.table_lookup(state.table, keys)
+        dist_old = None
+    else:
+        slots, dist_old = window
     occ_w, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
                                      slots=slots)
     vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
@@ -248,17 +258,15 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
     dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
 
-    dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                        dcfg.max_dist, slots=slots)
+    if dist_old is None:
+        dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                            dcfg.max_dist, slots=slots)
     yy = jnp.arange(w)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = ((yy >= radius) & (yy < w - radius) &
                 (xx >= radius) & (xx < w - radius))
     dist_merged = jnp.where(interior, dist_new, dist_old)
 
-    obst_old, _ = win_mod.gather_window(state.table, state.obstacle, keys,
-                                        False, slots=slots)
-    obst_merged = jnp.where(interior, obst_new, obst_old)
 
     # ---- allocate patches that gained content ------------------------------
     content = ((occ_add + vis_add) > 0) | (interior & (d2 < dcfg.max_sqdist))
@@ -275,10 +283,9 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
                                       occ_new.astype(state.occupied.dtype))
     visited = win_mod.scatter_window(state.visited, slots,
                                      vis_new.astype(OCC_DTYPE))
-    obstacle = win_mod.scatter_window(state.obstacle, slots, obst_merged)
     dist = win_mod.scatter_window(state.dist, slots, dist_merged)
 
-    new_state = SlamMapState(table, occupied, visited, obstacle, dist)
+    new_state = SlamMapState(table, occupied, visited, dist)
 
     # ---- transient map: prune patches outside the surface AABB -------------
     # (slam2d.cpp:323-373 / lidar_odometry_2d.cpp:131-182)
@@ -335,14 +342,12 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
         zero_occ = jnp.zeros((rm_keys.shape[0], length, length),
                              st.occupied.dtype)
         zero_vis = jnp.zeros((rm_keys.shape[0], length, length), OCC_DTYPE)
-        zero_obs = jnp.zeros((rm_keys.shape[0], length, length), jnp.bool_)
         max_d = jnp.full((rm_keys.shape[0], length, length),
                          cfg.distance.max_dist, jnp.float32)
         return SlamMapState(
             table,
             st.occupied.at[safe].set(zero_occ),
             st.visited.at[safe].set(zero_vis),
-            st.obstacle.at[safe].set(zero_obs),
             st.dist.at[safe].set(max_d),
         )
 
