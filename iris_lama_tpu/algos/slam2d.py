@@ -218,6 +218,34 @@ class Slam2D:
                                memory=self.memory_usage())
         return True
 
+    def update_prepadded(self, points, mask, origin, odometry: Pose2D,
+                         timestamp: float = 0.0) -> bool:
+        """Fast path for pre-staged scans (offline logs): points/mask/origin
+        already padded device arrays — skips per-scan host packing."""
+        if self._step is None:
+            self._max_beams = points.shape[0]
+            self._step, self._first = _make_step(self.cfg, self.sopts)
+        if not self.has_first_scan:
+            self.odom_ = odometry
+            self.map, _ = self._first(self.map, self._pose_dev, points, mask,
+                                      origin)
+            self._traj = self._traj.at[0].set(self._pose_dev)
+            self._n_updates = 1
+            self.has_first_scan = True
+            return True
+        odelta = self.odom_ - odometry
+        if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh and
+                abs(odelta.rotation()) <= self.options.rot_thresh):
+            return False
+        self.odom_ = odometry
+        self.map, self._pose_dev, self._traj, info = self._step(
+            self.map, self._pose_dev, jnp.asarray(odelta.se2_array()),
+            points, mask, origin, self._traj, jnp.int32(self._n_updates))
+        self._pose_host = None
+        self._last_info_dev = info
+        self._n_updates += 1
+        return True
+
     def memory_usage(self) -> int:
         """Allocated patch bytes (Map::memory, src/sdm/map.cpp:115-137)."""
         n = int(self.map.table.num_patches())
