@@ -146,3 +146,28 @@ def test_interp_pool_matches_window():
                                 geo, jnp.asarray(world), cfg.max_dist)
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dw), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gw), atol=1e-5)
+
+
+def test_pallas_edt_matches_xla_interpret():
+    """The Pallas EDT kernels are bit-exact vs edt2d (interpreter mode on
+    CPU; compiled-path equality is checked on TPU by ops/edt_pallas.py
+    benchmarks)."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from iris_lama_tpu.ops import edt_pallas as ep
+
+    obst = jnp.asarray(rng.random((128, 128)) < 0.03)
+    cap, r = 100, 10
+    vert = pl.pallas_call(
+        functools.partial(ep._vertical_kernel, radius=r),
+        out_shape=jax.ShapeDtypeStruct(obst.shape, jnp.int32),
+        interpret=True)
+    horiz = pl.pallas_call(
+        functools.partial(ep._horizontal_kernel, max_sqdist=cap, radius=r),
+        out_shape=jax.ShapeDtypeStruct(obst.shape, jnp.int32),
+        interpret=True)
+    got = np.asarray(horiz(vert(obst)))
+    expect = np.asarray(dmod.edt2d(obst, cap, r))
+    np.testing.assert_array_equal(got, expect)
