@@ -171,3 +171,31 @@ def test_pallas_edt_matches_xla_interpret():
     got = np.asarray(horiz(vert(obst)))
     expect = np.asarray(dmod.edt2d(obst, cap, r))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_scatter_matches_xla_interpret():
+    """Pallas scatter-add kernel (interpret mode) equals XLA's .at[].add."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from iris_lama_tpu.ops import scatter_pallas as sp
+
+    n, w = sp.CHUNK * 2, 256
+    ly = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+    lx = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+    v = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+
+    idx_spec = pl.BlockSpec((sp.CHUNK,), lambda i: (i,),
+                            memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        sp._scatter_kernel,
+        grid=(n // sp.CHUNK,),
+        in_specs=[idx_spec, idx_spec, idx_spec],
+        out_specs=pl.BlockSpec((w, w), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, w), jnp.int32),
+        interpret=True)
+    got = np.asarray(call(ly, lx, v))
+    expect = np.asarray(jnp.zeros((w, w), jnp.int32).at[ly, lx].add(v))
+    np.testing.assert_array_equal(got, expect)
