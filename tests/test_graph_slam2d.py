@@ -70,3 +70,26 @@ def test_graph_slam_optimize_preserves_consistency():
     # regenerated map covers the visited area
     state = gs.generate_occupancy_map()
     assert int(state.table.num_patches()) > 10
+
+
+def test_generate_coarse_distance_map():
+    cfg = simulator.SimConfig(
+        n_steps=80, seed=10,
+        laser=simulator.LaserSpec(n_beams=100, max_range=8.0))
+    data = simulator.simulate(cfg)
+    slam_opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                              trans_thresh=0.3, rot_thresh=0.3, capacity=2048)
+    gs = GraphSlam2D(GraphSlam2DOptions(slam=slam_opts))
+    gs.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(cfg.n_steps):
+        gs.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+    state, dcfg = gs.generate_coarse_distance_map(resolution=0.25, l2_max=2.5)
+    assert int(state.table.num_patches()) > 0
+    # distance at a key pose (free space) is positive and below max
+    from iris_lama_tpu.sdm import distance as dmod
+    import jax.numpy as jnp
+    kp = gs.key_poses[len(gs.key_poses) // 2]
+    d, _ = dmod.interp_pool(state.table, state.dist, dcfg.geometry,
+                            jnp.asarray([kp.pose.xy()], jnp.float32),
+                            dcfg.max_dist)
+    assert 0.05 < float(d[0]) <= dcfg.max_dist + 1e-6

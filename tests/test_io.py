@@ -114,3 +114,22 @@ def test_png_export(tmp_path):
     dimg = export_mod.distance_to_image(state, cfg.geometry,
                                         cfg.distance.max_dist)
     assert dimg.min() == 0 and dimg.max() == 255
+
+
+def test_ply_export(tmp_path):
+    from iris_lama_tpu.sdm.export import export_mesh_to_ply
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+    tris = np.array([[0, 1, 2]], np.int64)
+    p = str(tmp_path / "m.ply")
+    export_mesh_to_ply(verts, tris, p)
+    txt = open(p).read()
+    assert "element vertex 3" in txt and "element face 1" in txt
+    assert txt.strip().endswith("3 0 1 2")
+
+
+def test_package_lazy_imports():
+    import iris_lama_tpu as lama
+    assert lama.Pose2D(1, 2, 0.5).x() == 1
+    assert lama.Slam2DOptions().resolution == 0.05
+    assert lama.PFSlam2DOptions().particles == 30
+    assert lama.SimplePGO is not None
