@@ -199,3 +199,38 @@ def test_pallas_scatter_matches_xla_interpret():
     got = np.asarray(call(ly, lx, v))
     expect = np.asarray(jnp.zeros((w, w), jnp.int32).at[ly, lx].add(v))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_sorted_scatter_matches_xla_interpret():
+    """Sorted per-tile scatter kernel (interpret mode) equals .at[].add."""
+    import functools
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from iris_lama_tpu.ops import scatter_sorted as ss
+
+    n, w = ss.CHUNK * 2 + 100, 256
+    ly = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+    lx = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+    v = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    packed = jnp.sort(ss.pack_updates(ly, lx, v))
+    pad = (-n) % ss.CHUNK
+    last_code = ((w // 8 - 1) << 9) | (w // 128 - 1)
+    packed = jnp.concatenate([packed,
+                              jnp.full(pad, last_code << 11, jnp.int32)])
+    n_chunks = packed.shape[0] // ss.CHUNK
+    kernel = functools.partial(ss._kernel, n_tx=w // 128, n_chunks=n_chunks)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((ss.CHUNK,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((w, w), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((w, w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=True)
+    got = np.asarray(call(packed))
+    expect = np.asarray(jnp.zeros((w, w), jnp.int32).at[ly, lx].add(v))
+    np.testing.assert_array_equal(got, expect)
