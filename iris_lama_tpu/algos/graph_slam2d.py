@@ -54,6 +54,7 @@ class GraphSlam2DOptions:
     loop_search_min_distance: float = 2.0
     loop_max_candidates: int = 5
     loop_closure_scan_rmse: float = 0.05
+    loop_closure_max_candidates: int = 10   # graph_slam2d.h:82
     ignore_n_chain_poses: int = 20
 
 

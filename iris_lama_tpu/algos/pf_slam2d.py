@@ -59,6 +59,12 @@ class PFSlam2DOptions:
     strategy: str = "gn"
     seed: int = 0
     create_summary: bool = False
+    # Compression knobs kept for 1:1 Options parity (slam2d.h:115-120).
+    # On TPU the live pool stays uncompressed in HBM; these select the codec
+    # used for host-side snapshots/checkpoints (utils/codec.py).
+    use_compression: bool = False
+    cache_size: int = 100
+    calgorithm: str = "lz4"
     # --- TPU sizing ---
     max_range: float = 10.0
     max_beams: int = 0

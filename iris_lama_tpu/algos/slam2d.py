@@ -48,6 +48,12 @@ class Slam2DOptions:
     strategy: str = "gn"
     transient_map: bool = False
     create_summary: bool = False
+    # Compression knobs kept for 1:1 Options parity (slam2d.h:115-120).
+    # On TPU the live pool stays uncompressed in HBM; these select the codec
+    # used for host-side snapshots/checkpoints (utils/codec.py).
+    use_compression: bool = False
+    cache_size: int = 100
+    calgorithm: str = "lz4"
     # --- TPU sizing (static shapes) ---
     max_range: float = 10.0     # beams beyond this are dropped on host
     max_beams: int = 0          # 0 = bucket from first scan

@@ -42,6 +42,9 @@ class SolverOptions:
     eps1: float = 1e-4            # gauss_newton.cpp:40, levenberg_marquardt.cpp:41
     eps2: float = 1e-4
     tau: float = 1e-4             # LM only (levenberg_marquardt.cpp:43)
+    # parity with nlls/solver.h:66; per-iteration printing from inside a
+    # compiled while_loop would force host callbacks — intentionally inert
+    write_to_stdout: bool = False
 
 
 class SolveResult(NamedTuple):
