@@ -201,3 +201,39 @@ def test_window_gather_scatter_roundtrip():
     arr = win_mod.scatter_window(arr, slots, grid)
     back, _ = win_mod.gather_window(table, arr, keys, 0.0)
     np.testing.assert_allclose(np.asarray(back), np.asarray(grid))
+
+
+def test_beam_truncation_matches_reference_math():
+    """beam_geometry vs a literal numpy port of slam2d.cpp:267-300
+    (truncated_range and truncated_ray, 3D norms)."""
+    from iris_lama_tpu.core import lie
+    cfg = make_cfg(truncated_range=2.5, truncated_ray=1.5)
+    n = 40
+    pts = np.stack([rng.uniform(-4, 4, n), rng.uniform(-4, 4, n),
+                    rng.uniform(-0.2, 0.2, n)], -1).astype(np.float32)
+    origin = np.array([0.1, -0.05, 0.3], np.float32)
+    pose_xyr = (0.4, -0.2, 0.7)
+    pose = lie.se2(*pose_xyr)
+    g = mapping.beam_geometry(cfg, pose, jnp.asarray(pts),
+                              jnp.ones(n, bool), jnp.asarray(origin))
+    start_got = np.asarray(g.start_xy)
+    hit_got = np.asarray(g.hit_xy)
+    mark_got = np.asarray(g.mark_hit)
+
+    c, s = np.cos(pose_xyr[2]), np.sin(pose_xyr[2])
+    R = np.array([[c, -s], [s, c]])
+    t = np.array(pose_xyr[:2])
+    for i in range(n):
+        hit = np.r_[R @ pts[i, :2] + t, pts[i, 2]]
+        start = np.r_[R @ origin[:2] + t, origin[2]]
+        AB = hit - start
+        ray_len = np.linalg.norm(AB)
+        mark = True
+        if cfg.truncated_range < ray_len:
+            hit = start + AB / ray_len * cfg.truncated_range
+            mark = False
+        if mark and cfg.truncated_ray < ray_len:
+            start = hit - AB / ray_len * cfg.truncated_ray
+        assert mark_got[i] == mark, i
+        np.testing.assert_allclose(hit_got[i], hit[:2], atol=2e-5)
+        np.testing.assert_allclose(start_got[i], start[:2], atol=2e-5)
