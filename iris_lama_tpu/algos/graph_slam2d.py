@@ -266,7 +266,7 @@ class GraphSlam2D:
                     continue
             # between = matched^-1 * ref (cpp:353 with Pose2D operator-)
             matched = Pose2D.from_se2_array(np.asarray(state))
-            ref_pose = (Pose2D() - self.correction) + self.key_poses[
+            ref_pose = self.correction.inverse() + self.key_poses[
                 query_id].pose
             between = matched - ref_pose
             self._builder.add_between(cand_id, query_id,
@@ -301,7 +301,7 @@ class GraphSlam2D:
         return sel[:self.options.loop_max_candidates]
 
     def _correlate(self, query_id, cand_id):
-        inv_corr = Pose2D() - self.correction
+        inv_corr = self.correction.inverse()
         ref_pose = inv_corr + self.key_poses[query_id].pose
         cand_pose = inv_corr + self.key_poses[cand_id].pose
         hypo1 = Pose2D(ref_pose.x(), ref_pose.y(), cand_pose.rotation())
@@ -312,7 +312,7 @@ class GraphSlam2D:
         return state, float(err)
 
     def _coarse_correlate(self, query_id, cand_id):
-        inv_corr = Pose2D() - self.correction
+        inv_corr = self.correction.inverse()
         ref_pose = inv_corr + self.key_poses[query_id].pose
         cand_pose = inv_corr + self.key_poses[cand_id].pose
         ref = self.key_poses[query_id]
@@ -344,7 +344,7 @@ class GraphSlam2D:
         # correction rebase (cpp:416-425): C = B * A^-1; correction = C^-1
         A = self.key_poses[-1].pose
         B = self.slam.pose()
-        self.correction = A + (Pose2D() - B)   # A * B^-1
+        self.correction = A + B.inverse()   # A * B^-1
         self._factor_queue = 0
         self.accdist = 0.0
 

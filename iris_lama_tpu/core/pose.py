@@ -75,6 +75,13 @@ class Pose2D:
         return Pose2D(c * dx + s * dy, -s * dx + c * dy,
                       other._theta - self._theta)
 
+    def inverse(self) -> "Pose2D":
+        """Group inverse (== SE2d::inverse; note ``Pose2D() - p`` is p
+        itself under the reference's operator-, NOT the inverse)."""
+        c, s = np.cos(self._theta), np.sin(self._theta)
+        return Pose2D(-(c * self._x + s * self._y),
+                      -(-s * self._x + c * self._y), -self._theta)
+
     def transform(self, point) -> np.ndarray:
         """Apply pose to a 2D point (operator*, src/pose2d.cpp:98-101)."""
         c, s = np.cos(self._theta), np.sin(self._theta)

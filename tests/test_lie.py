@@ -126,3 +126,13 @@ def test_pose3d_add_sub():
     d = a - c
     np.testing.assert_allclose(d.t, b.t, atol=1e-12)
     np.testing.assert_allclose(np.abs(np.dot(d.q, b.q)), 1.0, atol=1e-12)
+
+
+def test_pose2d_inverse():
+    p = Pose2D(1.5, -0.7, 0.9)
+    ident = p + p.inverse()
+    np.testing.assert_allclose(ident.xyr(), 0.0, atol=1e-12)
+    ident2 = p.inverse() + p
+    np.testing.assert_allclose(ident2.xyr(), 0.0, atol=1e-12)
+    # the trap this guards: Pose2D() - p is p, NOT the inverse
+    np.testing.assert_allclose((Pose2D() - p).xyr(), p.xyr(), atol=1e-12)
