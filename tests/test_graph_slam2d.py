@@ -36,8 +36,9 @@ def test_graph_slam_loop():
 
     assert len(gs.key_poses) > 20, len(gs.key_poses)
     ate = ate_rmse(np.asarray(est), np.asarray(gt))
-    # transient front end drifts by design; loop closures bound the error
-    assert ate < 0.45, (ate, len(gs.links))
+    # transient front end + loop corrections (0.083 m measured post
+    # correction-frame fix; margin for seed sensitivity)
+    assert ate < 0.2, (ate, len(gs.links))
     assert len(gs.links) >= 1, "no loop closures accepted"
 
     # key-pose chain covers the trajectory
