@@ -61,7 +61,10 @@ def make_sharded_update(opts: pf.PFSlam2DOptions, mesh: Mesh,
     def step(pset, key, points, mask, origin):
         return pf.pf_update_step(opts, pset, key, points, mask, origin)
 
-    dummy = pf.particles_init(opts, jnp.asarray([0, 0, 1, 0], jnp.float32))
+    # abstract shapes only — don't materialize a particle set to read its
+    # tree structure
+    dummy = jax.eval_shape(
+        lambda: pf.particles_init(opts, jnp.zeros(4, jnp.float32)))
     in_sh = (shardings_like(dummy), rspec, rspec, rspec, rspec)
     return jax.jit(step, in_shardings=in_sh, donate_argnums=(0,))
 
