@@ -151,3 +151,30 @@ def test_covariance_full_rank():
 
     cov = np.asarray(nlls.covariance(eval_fn, UNIT, jnp.zeros(3)))
     np.testing.assert_allclose(cov, np.linalg.inv(A.T @ A), atol=1e-5)
+
+
+def test_window_and_pool_paths_agree():
+    """The dense-window and pool interp paths produce matching solves."""
+    geo = MapGeometry(resolution=0.05, log2dim=5)
+    cfg = mapping.MappingConfig(geometry=geo, l2_max=0.5, max_range=6.0,
+                                capacity=1024)
+    pts = _ring_scan()
+    state = _build_map_from_scan(cfg, (0.0, 0.0, 0.0), pts)
+
+    guess = lie.se2(0.12, -0.08, 0.04)
+    opts = nlls.SolverOptions(60, "gn", CAUCHY_SCAN)
+
+    org = win_mod.window_org(geo, geo.w2m(guess[:2]), cfg.window_patches)
+    keys = win_mod.window_patch_keys(geo, org, cfg.window_patches)
+    grid, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                    cfg.distance.max_dist)
+    res_w = match.solve_window(grid, org, geo, cfg.distance.max_dist,
+                               jnp.asarray(pts[:, :2]),
+                               jnp.ones(len(pts), bool), guess, opts)
+    res_p = match.solve_pool(state.table, state.dist, geo,
+                             cfg.distance.max_dist, jnp.asarray(pts[:, :2]),
+                             jnp.ones(len(pts), bool), guess, opts)
+    pw = Pose2D.from_se2_array(np.asarray(res_w.state))
+    pp = Pose2D.from_se2_array(np.asarray(res_p.state))
+    assert np.linalg.norm(pw.xy() - pp.xy()) < 2e-3
+    assert abs(pw.rotation() - pp.rotation()) < 2e-3
