@@ -195,6 +195,21 @@ def optimize(nodes, graph: SE2Graph, active_mask,
     return nodes, {"chi2": chi2, "iterations": it}
 
 
+def marginal_covariance(nodes, graph: SE2Graph, active_mask, idx):
+    """3x3 marginal covariance block of node ``idx`` at the solution.
+
+    reference: minisam's marginal covariance
+    (minisam/nonlinear/MarginalCovariance.*) — the (idx, idx) block of the
+    inverse Gauss-Newton Hessian. Dense at SLAM-scale node counts; the
+    inactive-node identity padding keeps H invertible.
+    """
+    n = nodes.shape[0]
+    H, _, _ = _normal_equations(nodes, graph, active_mask)
+    Hinv = jnp.linalg.inv(H)
+    block = jax.lax.dynamic_slice(Hinv, (3 * idx, 3 * idx), (3, 3))
+    return block
+
+
 # ---------------------------------------------------------------------------
 # Host-side graph builder (padded)
 # ---------------------------------------------------------------------------

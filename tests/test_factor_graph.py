@@ -121,3 +121,29 @@ def test_padding_nodes_untouched():
     out = np.asarray(out)
     np.testing.assert_allclose(out[1:], np.tile([0, 0, 1, 0], (63, 1)),
                                atol=1e-6)
+
+
+def test_marginal_covariance_prior_only():
+    # single node with a prior of sigma s: marginal covariance = s^2 I
+    b = fg.GraphBuilder()
+    s = 0.2
+    b.add_prior(0, Pose2D(1, 2, 0.3).se2_array(), (s, s, s))
+    graph = b.finalize()
+    nodes, active = _nodes_array([Pose2D(1, 2, 0.3)], 8)
+    cov = np.asarray(fg.marginal_covariance(nodes, graph, active, 0))
+    np.testing.assert_allclose(cov, s * s * np.eye(3), atol=1e-5)
+
+
+def test_marginal_covariance_grows_along_chain():
+    # odometry chain from a prior: uncertainty accumulates with distance
+    b = fg.GraphBuilder()
+    poses = [Pose2D(k * 1.0, 0, 0) for k in range(4)]
+    b.add_prior(0, poses[0].se2_array(), (0.1, 0.1, 0.1))
+    for i in range(3):
+        b.add_between(i, i + 1, (poses[i] - poses[i + 1]).se2_array(),
+                      (0.2, 0.2, 0.1))
+    graph = b.finalize()
+    nodes, active = _nodes_array(poses, 8)
+    tr = [np.trace(np.asarray(
+        fg.marginal_covariance(nodes, graph, active, i))) for i in range(4)]
+    assert tr[0] < tr[1] < tr[2] < tr[3], tr
