@@ -83,3 +83,55 @@ def test_loc2d_sampling_covariance_blend():
     cov = loc.covariance()
     assert np.isfinite(cov).all()
     assert np.all(np.diag(cov)[:2] >= 0)
+
+
+def test_sampling_covariance_matches_numpy_oracle():
+    """Olson sampled covariance vs a literal numpy port of
+    loc2d.cpp:199-247 (steps cache, subsampling, exp weighting)."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.algos.loc2d import sampling_covariance_kernel
+    from iris_lama_tpu.sdm import distance as dmod
+
+    data = _sim(n=20)
+    slam = build_map(data, 20)
+    from iris_lama_tpu.algos.loc2d import maps_from_slam
+    maps = maps_from_slam(slam.map, slam.cfg)
+    geo = slam.cfg.geometry
+    max_dist = slam.cfg.distance.max_dist
+
+    from iris_lama_tpu.utils.cloud import pad_scan
+    pts, mask, _ = pad_scan(data.clouds[5], 128)
+    pose = Pose2D(*data.poses_gt[5])
+    n_step = max(int(mask.sum()) // 100, 1)
+
+    got = np.asarray(sampling_covariance_kernel(
+        maps, geo, max_dist, jnp.asarray(pts[:, :2]), jnp.asarray(mask),
+        jnp.asarray(pose.se2_array()), geo.resolution, n_step))
+
+    # numpy oracle
+    steps = [(0.0, 0.0)]
+    for i in range(1, 21):
+        s = i * geo.resolution
+        steps += [(s, 0), (0, s), (-s, 0), (0, -s),
+                  (s, s), (-s, s), (s, -s), (-s, -s)]
+    sub = pts[::n_step][:, :2]
+    submask = mask[::n_step]
+    K = np.zeros((2, 2)); u = np.zeros(2); ssum = 0.0
+    c, s_ = np.cos(pose.rotation()), np.sin(pose.rotation())
+    R = np.array([[c, -s_], [s_, c]])
+    dist_pool = np.asarray(maps.distance.dist)
+    from iris_lama_tpu.sdm import pool as pool_mod
+    for ox, oy in steps:
+        trans = np.array([pose.x() + ox, pose.y() + oy])
+        hits = sub @ R.T + trans
+        cells = geo.np_w2m(hits)
+        d = np.asarray(dmod.cell_distance(
+            maps.distance.table, maps.distance.dist, geo,
+            jnp.asarray(cells.astype(np.int32)), max_dist))
+        e = np.exp(-(d * d) / 0.01) * submask
+        l = float(np.sum(e ** 3))
+        K += np.outer(trans, trans) * l
+        u += trans * l
+        ssum += l
+    expect = K / ssum - np.outer(u, u) / (ssum * ssum)
+    np.testing.assert_allclose(got, expect, atol=1e-4)
