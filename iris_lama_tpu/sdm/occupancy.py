@@ -191,6 +191,12 @@ def frequency_is_occupied(state, geo, cells):
     return jnp.where(slots >= 0, 4 * occ > vis, False)
 
 
+def frequency_is_unknown(state, geo, cells):
+    slots, idx = _locate(state.table, geo, cells, state.occupied.shape[0] - 1)
+    unknown = state.visited[idx] == 0
+    return jnp.where(slots >= 0, unknown, True)
+
+
 def frequency_prune(state: FrequencyOccupancyState) -> FrequencyOccupancyState:
     """Drop single-visit cells (frequency_occupancy_map.cpp:146-155)."""
     drop = jnp.logical_and(state.visited == 1, state.occupied <= 1)
