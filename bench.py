@@ -5,17 +5,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline point (BASELINE.md): the reference runs real-time on a Raspberry Pi
 3B+ — i.e. ~10 scans/s at typical lidar rate. Target is >= 10x that per
 chip, so vs_baseline = scans_per_sec / 10.0.
+
+Robustness: the measurement runs in a child process with a hard timeout —
+a wedged TPU tunnel (see CLAUDE.md) otherwise hangs unkillably inside the
+axon client. On timeout the parent re-measures on CPU and says so in the
+output rather than printing nothing.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+CHILD_ENV = "IRIS_LAMA_BENCH_CHILD"
+CHILD_TIMEOUT_S = 900
 
-def main():
+
+def run_measurement():
     import jax
+    if os.environ.get(CHILD_ENV) == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
     from iris_lama_tpu.core.pose import Pose2D
@@ -78,7 +90,35 @@ def main():
             "resolution": 0.05,
             "device": str(jax.devices()[0]),
         },
-    }))
+    }), flush=True)
+
+
+def main():
+    if os.environ.get(CHILD_ENV):
+        return run_measurement()
+
+    # parent: child with a hard timeout, CPU fallback on hang/failure
+    for platform in ("ambient", "cpu"):
+        env = dict(os.environ)
+        env[CHILD_ENV] = platform
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("{")]
+            if lines:
+                print(lines[-1], flush=True)
+                return 0
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# bench on {platform} platform failed/hung; "
+              f"falling back", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "slam2d_scans_per_sec", "value": 0.0,
+                      "unit": "scans/s", "vs_baseline": 0.0,
+                      "extra": {"error": "all platforms failed"}}),
+          flush=True)
+    return 1
 
 
 if __name__ == "__main__":
