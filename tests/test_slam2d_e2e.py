@@ -54,3 +54,32 @@ def test_slam2d_motion_gate():
     # consecutive poses are ~0.08 m apart: under the 0.5 m gate
     assert not slam.update(data.clouds[1], data.odometry[1], 0.1)
     assert slam.enough_motion(data.odometry[1]) is False
+
+
+def test_transient_slam_long_run_bounded_memory():
+    """Endurance: 300 scans with a transient map — pool stays bounded, no
+    overflow, and tracking holds (slam2d.cpp:323-373 behavior)."""
+    cfg = simulator.SimConfig(
+        n_steps=300, seed=3,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0))
+    data = simulator.simulate(cfg)
+    from iris_lama_tpu.core.pose import Pose2D
+    opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                         trans_thresh=0.25, rot_thresh=0.25,
+                         capacity=2048, transient_map=True)
+    slam = Slam2D(opts)
+    slam.set_prior(Pose2D(*data.poses_gt[0]))
+    counts = []
+    est, gt = [], []
+    for k in range(cfg.n_steps):
+        if slam.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
+            est.append(slam.pose().xyr())
+            gt.append(data.poses_gt[k])
+        if k % 50 == 49:
+            counts.append(int(slam.map.table.num_patches()))
+    assert slam._last_info["overflow"] == 0
+    # pruning keeps the pool bounded well below the visited-world total
+    assert max(counts) < 1200, counts
+    # local tracking stays sane even though old areas are forgotten
+    err = np.linalg.norm(np.asarray(est)[-1, :2] - np.asarray(gt)[-1, :2])
+    assert err < 1.0, err
