@@ -135,3 +135,37 @@ def test_sampling_covariance_matches_numpy_oracle():
         ssum += l
     expect = K / ssum - np.outer(u, u) / (ssum * ssum)
     np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_full_file_workflow_slam_to_loc(tmp_path):
+    """The production workflow through files: slam2d builds maps, writes
+    reference-format .smd, a fresh Loc2D loads them and localizes
+    (SURVEY §3.5: 'how Loc2D consumes SLAM-built maps offline')."""
+    from iris_lama_tpu.sdm import io as sdm_io
+    from iris_lama_tpu.algos.loc2d import LocMaps, maps_from_slam
+
+    data = _sim(n=50)
+    slam = build_map(data, 50)
+
+    occ_path = str(tmp_path / "world_occ.smd")
+    dm_path = str(tmp_path / "world_dm.smd")
+    maps0 = maps_from_slam(slam.map, slam.cfg)
+    sdm_io.write_simple_occupancy(maps0.occupancy, slam.cfg.geometry,
+                                  occ_path)
+    sdm_io.write_distance_map(slam.map, slam.cfg.geometry, slam.cfg.l2_max,
+                              dm_path)
+
+    occ_loaded, geo = sdm_io.read_simple_occupancy(occ_path, capacity=4096)
+    dm_loaded, dcfg = sdm_io.read_distance_map(dm_path, capacity=4096)
+
+    loc = Loc2D(Loc2DOptions(resolution=0.1, patch_size=16,
+                             l2_max=float(dcfg.l2_max), max_range=8.0,
+                             trans_thresh=0.2, rot_thresh=0.2),
+                maps=LocMaps(occ_loaded, dm_loaded))
+    loc.set_prior(Pose2D(*data.poses_gt[0]))
+    errs = []
+    for k in range(50):
+        if loc.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
+            errs.append(np.linalg.norm(loc.pose().xy() - data.poses_gt[k][:2]))
+    assert len(errs) > 3
+    assert np.mean(errs) < 0.2, errs
