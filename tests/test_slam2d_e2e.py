@@ -83,3 +83,20 @@ def test_transient_slam_long_run_bounded_memory():
     # local tracking stays sane even though old areas are forgotten
     err = np.linalg.norm(np.asarray(est)[-1, :2] - np.asarray(gt)[-1, :2])
     assert err < 1.0, err
+
+
+def test_summary_report_path():
+    cfg = simulator.SimConfig(n_steps=30, seed=2,
+                              laser=simulator.LaserSpec(n_beams=120,
+                                                        max_range=8.0))
+    data = simulator.simulate(cfg)
+    from iris_lama_tpu.core.pose import Pose2D
+    slam = Slam2D(Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                                trans_thresh=0.2, rot_thresh=0.2,
+                                capacity=1024, create_summary=True))
+    slam.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(30):
+        slam.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+    rep = slam.summary.report()
+    assert "updates:" in rep and "Hz" in rep and "MiB" in rep
+    assert slam.memory_usage() > 0

@@ -178,3 +178,19 @@ def test_window_and_pool_paths_agree():
     pp = Pose2D.from_se2_array(np.asarray(res_p.state))
     assert np.linalg.norm(pw.xy() - pp.xy()) < 2e-3
     assert abs(pw.rotation() - pp.rotation()) < 2e-3
+
+
+def test_covariance_svd_fallback_rank_deficient():
+    # J with an all-zero column: rank 2 -> reference SVD fallback
+    # (solver.cpp:143-149: sv^2 inverse where |sv| > 1e-3, else 3.0)
+    A = np.array([[1.0, 0.0, 0.0], [0.0, 2.0, 0.0], [1.0, 1.0, 0.0],
+                  [0.5, 0.0, 0.0]], np.float32)
+
+    def eval_fn(x):
+        return jnp.asarray(A) @ x, jnp.asarray(A)
+
+    cov = np.asarray(nlls.covariance(eval_fn, UNIT, jnp.zeros(3)))
+    _, s, vt = np.linalg.svd(A, full_matrices=False)
+    s_inv2 = np.where(np.abs(s) > 1e-3, 1.0 / (s * s), 3.0)
+    expect = (vt.T * s_inv2[None, :]) @ vt
+    np.testing.assert_allclose(cov, expect, atol=1e-4)
