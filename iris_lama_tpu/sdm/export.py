@@ -11,10 +11,26 @@ Host-side (PIL); export is not a hot path.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 from . import pool as pool_mod
 from .geometry import MapGeometry
+
+
+class PolygonMesh(NamedTuple):
+    """Vertices + triangle indices (reference: types.h PolygonMesh)."""
+
+    vertices: np.ndarray    # f64[V, 3]
+    triangles: np.ndarray   # i64[T, 3]
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read any PIL-supported image as uint8 (reference: image_io.h
+    PNG/any-format read via stb, src/image_io.cpp:45-56)."""
+    from PIL import Image
+    return np.asarray(Image.open(path))
 
 
 def _dense_from_pool(table, arr, geo: MapGeometry, default):
