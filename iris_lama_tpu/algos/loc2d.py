@@ -204,11 +204,24 @@ class Loc2D:
         opts, geo, maps = self.options, self.geo, self.maps
         max_dist = self.dcfg.max_dist
         sopts = opts.solver_options()
+        # window sizing: scan reach + solver travel slack (same margin logic
+        # as MappingConfig.window_patches)
+        import math as _math
+        half_cells = ((opts.max_range + 2.0) * geo.scale
+                      + self.dcfg.radius_cells)
+        wp = 2 * (int(_math.ceil(half_cells / geo.patch_length)) + 1)
 
         def solve_and_cov(pose0, pts, msk):
-            eval_fn = match.make_pool_eval(maps.distance.table,
-                                           maps.distance.dist, geo, max_dist,
-                                           pts, msk)
+            # tracking solve on a dense window (pool probing per point is
+            # the slow path on TPU; the window costs one patch-level gather)
+            from ..sdm import window as win_mod
+            org = win_mod.window_org(geo, geo.w2m(pose0[:2]), wp)
+            keys = win_mod.window_patch_keys(geo, org, wp)
+            grid, _ = win_mod.gather_window(maps.distance.table,
+                                            maps.distance.dist, keys,
+                                            max_dist)
+            eval_fn = match.make_window_eval(grid, org, geo, max_dist,
+                                             pts, msk)
             res = nlls_solver.solve(eval_fn, match.update_state, pose0, sopts)
             cov = nlls_solver.covariance(eval_fn, sopts.robust, res.state)
             r, _ = eval_fn(res.state)
