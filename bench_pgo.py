@@ -1,0 +1,71 @@
+"""Benchmark: pose-graph optimization wall time (BASELINE.json config #4 —
+"pose-graph solve wall-clock ms"). One JSON line."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iris_lama_tpu.core.pose import Pose2D
+    from iris_lama_tpu.nlls import factor_graph as fg
+
+    rng = np.random.default_rng(9)
+    n = 512   # key poses (a long corridor + loop closures)
+    true = [Pose2D(0, 0, 0)]
+    for k in range(n - 1):
+        true.append(true[-1] + Pose2D(1.0, 0.02 * np.sin(k / 7), 0.012))
+
+    b = fg.GraphBuilder()
+    b.add_prior(0, true[0].se2_array(), (0.01, 0.01, 0.01))
+    for i in range(n - 1):
+        b.add_between(i, i + 1, (true[i] - true[i + 1]).se2_array(),
+                      (0.25, 0.25, 0.15))
+    for _ in range(32):     # loop closures
+        i = int(rng.integers(0, n - 60))
+        j = int(rng.integers(i + 40, n))
+        b.add_between(i, j, (true[i] - true[j]).se2_array(), (0.5, 0.5, 0.1),
+                      huber_k=0.1)
+    graph = b.finalize()
+
+    n_pad = fg.GraphBuilder._bucket(n)
+    nodes = np.tile(np.array([0, 0, 1, 0], np.float32), (n_pad, 1))
+    for i, p in enumerate(true):
+        nodes[i] = Pose2D(p.x() + rng.normal(0, 0.3),
+                          p.y() + rng.normal(0, 0.3),
+                          p.rotation() + rng.normal(0, 0.05)).se2_array()
+    active = np.zeros(n_pad, bool)
+    active[:n] = True
+
+    run = jax.jit(lambda nd: fg.optimize(nd, graph, jnp.asarray(active))[0])
+    out = run(jnp.asarray(nodes))
+    jax.block_until_ready(out)     # compile
+
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run(jnp.asarray(nodes))
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+
+    err = float(np.mean([np.linalg.norm(
+        Pose2D.from_se2_array(np.asarray(out)[i]).xy() - true[i].xy())
+        for i in range(0, n, 16)]))
+    print(json.dumps({
+        "metric": "pose_graph_solve_ms",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": 1.0,
+        "extra": {"nodes": n, "loop_edges": 32,
+                  "mean_err_m": round(err, 4),
+                  "device": str(jax.devices()[0])},
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

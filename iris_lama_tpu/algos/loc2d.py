@@ -168,11 +168,16 @@ class Loc2D:
         self.geo = MapGeometry(options.resolution, log2dim, False)
         self.dcfg = dist_mod.DistanceConfig(self.geo, options.l2_max)
         self.maps = maps
-        self.pose_ = Pose2D()
         self.odom_ = Pose2D()
-        self.cov_ = np.eye(3)
-        self.rmse_ = 0.0
         self.has_first_scan = False
+        # pose/cov/rmse live on device; host copies are pulled lazily
+        # (remote-TPU device->host transfers cost ~30 ms each)
+        self._pose_dev = jnp.asarray(Pose2D().se2_array())
+        self._pose_host: "Pose2D | None" = Pose2D()
+        self._cov_dev = jnp.eye(3)
+        self._cov_host = np.eye(3)
+        self._rmse_dev = jnp.float32(0.0)
+        self._rmse_host = 0.0
         self.do_global_localization = False
         self.gloc_cur_iter = 0
         self.key = jax.random.PRNGKey(seed if seed else 42)
@@ -186,19 +191,27 @@ class Loc2D:
         self.maps = maps
 
     def set_prior(self, prior: Pose2D) -> None:
-        self.pose_ = prior
+        self._pose_dev = jnp.asarray(prior.se2_array())
+        self._pose_host = prior
 
     def trigger_global_localization(self) -> None:
         self.do_global_localization = True
 
     def pose(self) -> Pose2D:
-        return self.pose_
+        if self._pose_host is None:
+            self._pose_host = Pose2D.from_se2_array(
+                np.asarray(self._pose_dev))
+        return self._pose_host
 
     def covariance(self) -> np.ndarray:
-        return self.cov_
+        if self._cov_host is None:
+            self._cov_host = np.asarray(self._cov_dev, np.float64)
+        return self._cov_host
 
     def rmse(self) -> float:
-        return self.rmse_
+        if self._rmse_host is None:
+            self._rmse_host = float(self._rmse_dev)
+        return self._rmse_host
 
     def _build(self):
         opts, geo, maps = self.options, self.geo, self.maps
@@ -262,42 +275,47 @@ class Loc2D:
             self.has_first_scan = True
             if not force_update:
                 return True
-            self.rmse_ = float(self._rmse(jnp.asarray(
-                self.pose_.se2_array()), pts, msk))
+            self._rmse_dev = self._rmse(self._pose_dev, pts, msk)
+            self._rmse_host = None
 
         odelta = self.odom_ - odometry
-        ppose = self.pose_ + odelta
         if not force_update and not self._enough_motion(odelta):
             return False
-        self.pose_ = ppose
+        # prediction composes on device (loc2d.cpp:149-151)
+        from ..core import lie
+        pose0 = lie.se2_compose(self._pose_dev,
+                                jnp.asarray(odelta.se2_array()))
         self.odom_ = odometry
 
         if self.do_global_localization:
             if self.gloc_cur_iter < opts.gloc_iters:
                 self.gloc_cur_iter += 1
                 self.key, sub = jax.random.split(self.key)
-                best_pose, _ = self._gloc(pts, msk, sub)
-                self.pose_ = Pose2D.from_se2_array(np.asarray(best_pose))
+                pose0, _ = self._gloc(pts, msk, sub)
             else:
                 self.do_global_localization = False
                 self.gloc_cur_iter = 0
 
-        state, cov, rmse = self._solve(jnp.asarray(self.pose_.se2_array()),
-                                       pts, msk)
-        self.pose_ = Pose2D.from_se2_array(np.asarray(state))
-        self.cov_ = np.asarray(cov, np.float64)
-        self.rmse_ = float(rmse)
+        state, cov, rmse = self._solve(pose0, pts, msk)
+        self._pose_dev = state
+        self._cov_dev = cov
+        self._rmse_dev = rmse
+        self._pose_host = None
+        self._cov_host = None
+        self._rmse_host = None
 
         if opts.cov_blend > 0.0:
             n_step = max(int(np.sum(mask)) // 100, 1)
             samp = sampling_covariance_kernel(
                 self.maps, self.geo, self.dcfg.max_dist, pts, msk,
-                jnp.asarray(self.pose_.se2_array()), opts.resolution, n_step)
+                self._pose_dev, opts.resolution, n_step)
             a = min(max(opts.cov_blend, 0.0), 1.0)
-            self.cov_[:2, :2] = (a * np.asarray(samp)
-                                 + (1 - a) * self.cov_[:2, :2])
+            cov_h = np.asarray(self._cov_dev, np.float64)
+            cov_h[:2, :2] = (a * np.asarray(samp) + (1 - a) * cov_h[:2, :2])
+            self._cov_host = cov_h
 
-        if self.do_global_localization and self.rmse_ < opts.gloc_thresh:
+        # gloc convergence needs the rmse on host (rare path; one pull)
+        if self.do_global_localization and self.rmse() < opts.gloc_thresh:
             self.do_global_localization = False
             self.gloc_cur_iter = 0
         return True
