@@ -37,14 +37,18 @@ def main():
     loc.update(data.clouds[0], data.odometry[0], 0.0, force_update=True)
     loc.update(data.clouds[1], data.odometry[1], 0.1, force_update=True)
 
-    errs = []
+    gt = []
     n_upd = 0
     t0 = time.perf_counter()
     for k in range(2, n_steps):
         if loc.update(data.clouds[k], data.odometry[k], data.timestamps[k]):
             n_upd += 1
-            errs.append(np.linalg.norm(loc.pose().xy() - data.poses_gt[k][:2]))
+            gt.append(data.poses_gt[k])
+    import jax as _jax
+    _jax.block_until_ready(loc._pose_dev)
     elapsed = time.perf_counter() - t0
+    est = loc.trajectory()[-len(gt):]
+    errs = np.linalg.norm(est[:, :2] - np.asarray(gt)[:, :2], axis=1)
 
     ups = n_upd / elapsed
     print(json.dumps({

@@ -178,6 +178,8 @@ class Loc2D:
         self._cov_host = np.eye(3)
         self._rmse_dev = jnp.float32(0.0)
         self._rmse_host = 0.0
+        self._traj = jnp.zeros((16384, 4), jnp.float32)
+        self._n_updates = 0
         self.do_global_localization = False
         self.gloc_cur_iter = 0
         self.key = jax.random.PRNGKey(seed if seed else 42)
@@ -212,6 +214,13 @@ class Loc2D:
         if self._rmse_host is None:
             self._rmse_host = float(self._rmse_dev)
         return self._rmse_host
+
+    def trajectory(self) -> np.ndarray:
+        """All matched poses so far, [n, 3] xyr — one device pull."""
+        n = min(self._n_updates, self._traj.shape[0])
+        t = np.asarray(self._traj[:n])
+        return np.stack([t[:, 0], t[:, 1],
+                         np.arctan2(t[:, 3], t[:, 2])], -1)
 
     def _build(self):
         opts, geo, maps = self.options, self.geo, self.maps
@@ -303,6 +312,9 @@ class Loc2D:
         self._pose_host = None
         self._cov_host = None
         self._rmse_host = None
+        self._traj = self._traj.at[min(self._n_updates,
+                                       self._traj.shape[0] - 1)].set(state)
+        self._n_updates += 1
 
         if opts.cov_blend > 0.0:
             n_step = max(int(np.sum(mask)) // 100, 1)
