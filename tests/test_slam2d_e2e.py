@@ -100,3 +100,32 @@ def test_summary_report_path():
     rep = slam.summary.report()
     assert "updates:" in rep and "Hz" in rep and "MiB" in rep
     assert slam.memory_usage() > 0
+
+
+def test_update_paths_equivalent():
+    """update() and update_prepadded() produce identical trajectories."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.core.pose import Pose2D
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
+    cfg = simulator.SimConfig(n_steps=40, seed=6,
+                              laser=simulator.LaserSpec(n_beams=120,
+                                                        max_range=8.0))
+    data = simulator.simulate(cfg)
+    opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                         trans_thresh=0.2, rot_thresh=0.2, capacity=1024)
+
+    a = Slam2D(opts)
+    a.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(40):
+        a.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+
+    b = Slam2D(opts)
+    b.set_prior(Pose2D(*data.poses_gt[0]))
+    nb = beam_bucket(120)
+    for k in range(40):
+        p, m, o = pad_scan(data.clouds[k], nb)
+        b.update_prepadded(jnp.asarray(p), jnp.asarray(m), jnp.asarray(o),
+                           data.odometry[k], data.timestamps[k])
+
+    np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
