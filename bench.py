@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 CHILD_ENV = "IRIS_LAMA_BENCH_CHILD"
-CHILD_TIMEOUT_S = 900
+CHILD_TIMEOUT_S = 1800   # cold remote compiles legitimately take ~15 min
 
 
 def run_measurement():
