@@ -69,7 +69,11 @@ class PFSlam2DOptions:
     max_range: float = 10.0
     max_beams: int = 0
     capacity: int = 2048
-    pose_slack: float = 2.0
+    # PF windows anchor at the per-particle pose right before each use
+    # (post-motion for the match, post-resample for the map update), so the
+    # match-travel margin can be much tighter than Slam2D's — this shrinks
+    # the window from 18 to 16 patches (-21% EDT/gather/writeback area)
+    pose_slack: float = 0.5
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
