@@ -188,6 +188,7 @@ class Loc2D:
         self._gloc = None
         self._samp_cov = None
         self._rmse = None
+        self._step = None
 
     def set_maps(self, maps: LocMaps) -> None:
         self.maps = maps
@@ -255,6 +256,19 @@ class Loc2D:
         self._gloc = jax.jit(lambda pts, msk, key: global_localization_kernel(
             maps, geo, max_dist, pts, msk, key, opts.gloc_particles))
 
+        # one fused per-update program (remote dispatch is the Loc2D cost:
+        # un-jitted compose/ring ops each pay a tunnel round trip)
+        def step(pose_dev, traj, n, odelta_arr, pts, msk, key, use_gloc):
+            pose0 = lie.se2_compose(pose_dev, odelta_arr)
+            if use_gloc:
+                pose0, _ = global_localization_kernel(
+                    maps, geo, max_dist, pts, msk, key, opts.gloc_particles)
+            state, cov, rmse = solve_and_cov(pose0, pts, msk)
+            traj = traj.at[jnp.minimum(n, traj.shape[0] - 1)].set(state)
+            return state, cov, rmse, traj
+
+        self._step = jax.jit(step, static_argnums=(7,), donate_argnums=(1,))
+
         def rmse_only(pose0, pts, msk):
             eval_fn = match.make_pool_eval(maps.distance.table,
                                            maps.distance.dist, geo, max_dist,
@@ -290,30 +304,31 @@ class Loc2D:
         odelta = self.odom_ - odometry
         if not force_update and not self._enough_motion(odelta):
             return False
-        # prediction composes on device (loc2d.cpp:149-151)
-        from ..core import lie
-        pose0 = lie.se2_compose(self._pose_dev,
-                                jnp.asarray(odelta.se2_array()))
         self.odom_ = odometry
 
+        use_gloc = False
         if self.do_global_localization:
             if self.gloc_cur_iter < opts.gloc_iters:
                 self.gloc_cur_iter += 1
-                self.key, sub = jax.random.split(self.key)
-                pose0, _ = self._gloc(pts, msk, sub)
+                use_gloc = True
             else:
                 self.do_global_localization = False
                 self.gloc_cur_iter = 0
+        sub = self.key
+        if use_gloc:
+            self.key, sub = jax.random.split(self.key)
 
-        state, cov, rmse = self._solve(pose0, pts, msk)
+        # one dispatch: compose prediction (loc2d.cpp:149-151), optional
+        # gloc hypothesis sweep, solve+cov+rmse, trajectory-ring append
+        state, cov, rmse, self._traj = self._step(
+            self._pose_dev, self._traj, np.int32(self._n_updates),
+            jnp.asarray(odelta.se2_array()), pts, msk, sub, use_gloc)
         self._pose_dev = state
         self._cov_dev = cov
         self._rmse_dev = rmse
         self._pose_host = None
         self._cov_host = None
         self._rmse_host = None
-        self._traj = self._traj.at[min(self._n_updates,
-                                       self._traj.shape[0] - 1)].set(state)
         self._n_updates += 1
 
         if opts.cov_blend > 0.0:

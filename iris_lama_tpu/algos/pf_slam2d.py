@@ -261,22 +261,24 @@ class PFSlam2D:
     def _build(self):
         opts = self.options
 
+        # the PRNG key lives on device and evolves inside each program —
+        # a separate jax.random.split would be one more tunnel dispatch
         def motion(pset, key, odelta):
+            k1, k2 = jax.random.split(key)
             return pset._replace(
-                pose=draw_from_motion(opts, key, odelta, pset.pose))
+                pose=draw_from_motion(opts, k1, odelta, pset.pose)), k2
+
+        def update(pset, key, pts, msk, org):
+            k1, k2 = jax.random.split(key)
+            new_pset, info = pf_update_step(opts, pset, k1, pts, msk, org)
+            return new_pset, info, k2
 
         self._jit_motion = jax.jit(motion, donate_argnums=(0,))
-        self._jit_update = jax.jit(
-            lambda pset, key, pts, msk, org: pf_update_step(
-                opts, pset, key, pts, msk, org), donate_argnums=(0,))
+        self._jit_update = jax.jit(update, donate_argnums=(0,))
         self._jit_first = jax.jit(
             lambda pset, pts, msk, org: pf_first_step(opts, pset, pts, msk,
                                                       org),
             donate_argnums=(0,))
-
-    def _split(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
@@ -308,8 +310,8 @@ class PFSlam2D:
         # 1. motion prediction for every particle, every call
         odelta = self.odom_ - odometry
         self.odom_ = odometry
-        self.pset = self._jit_motion(self.pset, self._split(),
-                                     jnp.asarray(odelta.se2_array()))
+        self.pset, self.key = self._jit_motion(
+            self.pset, self.key, jnp.asarray(odelta.se2_array()))
 
         self.acc_trans += float(np.linalg.norm(odelta.xy()))
         self.acc_rot += abs(odelta.rotation())
@@ -320,8 +322,8 @@ class PFSlam2D:
         self.acc_rot = 0.0
 
         # 2-5. fused device update (no per-scan device->host sync)
-        self.pset, info = self._jit_update(self.pset, self._split(),
-                                           points, mask, origin)
+        self.pset, info, self.key = self._jit_update(self.pset, self.key,
+                                                     points, mask, origin)
         self._last_info_dev = info
 
         if self.summary:

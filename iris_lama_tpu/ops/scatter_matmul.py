@@ -1,0 +1,145 @@
+"""Scatter-add of unit counts as an MXU contraction (the raycast deposit).
+
+The raycast rasterizer needs ``counts[y, x] = sum_t [ly_t == y][lx_t == x]``
+over ~150k ray cells per scan (reference semantics: the per-beam callback
+walk of Slam2D::updateMaps, src/slam2d.cpp:313-317, re-expressed as
+order-independent counts in sdm/mapping.py). XLA lowers ``grid.at[ly,
+lx].add(1)`` to a serialized HBM read-modify-write stream (~13.5 ns/element
+on v5e — ~2 ms/scan, ~60 ms for a 30-particle filter), and per-element
+Pallas scatters are worse (4 KB aligned-tile RMW each; see
+ops/scatter_pallas.py / ops/scatter_sorted.py for the measured attempts).
+
+This op instead treats the deposit as algebra: with one-hot operands
+``A[y, t] = [ly_t == y]`` and ``B[x, t] = [lx_t == x]``,
+
+    counts = A @ B^T
+
+— a contraction over the element axis that rides the 128x128 systolic
+array. The kernel generates the one-hot tiles *in VMEM* (so nothing but the
+int32 indices and the final counts ever touch HBM) and accumulates f32
+counts in the output block across sequential grid steps. bf16 one-hots are
+exact (0/1), and f32 accumulation is exact for counts < 2^24.
+
+Measured (TPU v5e, W=512, N=145k): ~0.5 ms/particle at 30 particles — ~80%
+of bf16 MXU peak, ~4x faster than XLA's scatter; the win grows with batch.
+
+Invalid elements are encoded as ``ly == H`` (one-hot row of zeros), which
+replaces the mask multiply: callers route masked-out cells to the sentinel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Elements per one-hot operand tile. 512 keeps each (W, CHUNK) bf16 operand
+# at 512 KB and the contraction MXU-shaped; 8 sub-chunks amortize grid-step
+# overheads (index blocks must have a sublane dim divisible by 8).
+CHUNK = 512
+SUBS = 8
+_MACRO = SUBS * CHUNK
+
+
+def _kernel(ly_ref, lx_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    chunk = ly_ref.shape[-1]
+    h = out_ref.shape[-2]
+    w = out_ref.shape[-1]
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 0)
+    iota_w = (iota_h if h == w else
+              jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0))
+    acc = jnp.zeros((h, w), jnp.float32)
+    for i in range(SUBS):
+        a = (iota_h == jnp.broadcast_to(ly_ref[0, 0, i, :],
+                                        (h, chunk))).astype(jnp.bfloat16)
+        b = (iota_w == jnp.broadcast_to(lx_ref[0, 0, i, :],
+                                        (w, chunk))).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = out_ref[0] + acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _scatter_batched(ly, lx, h: int, w: int, interpret: bool = False):
+    """f32[P, h, w] counts from int32[P, N] indices (invalid: ly >= h)."""
+    from jax.experimental import pallas as pl
+
+    p, n = ly.shape
+    pad = (-n) % _MACRO
+    if pad:
+        fill = jnp.full((p, pad), h, jnp.int32)
+        ly = jnp.concatenate([ly, fill], axis=1)
+        lx = jnp.concatenate([lx, fill], axis=1)
+    n_chunks = ly.shape[1] // _MACRO
+    ly = ly.reshape(p, n_chunks, SUBS, CHUNK)
+    lx = lx.reshape(p, n_chunks, SUBS, CHUNK)
+
+    idx = pl.BlockSpec((1, 1, SUBS, CHUNK), lambda pp, cc: (pp, cc, 0, 0))
+    return pl.pallas_call(
+        _kernel,
+        grid=(p, n_chunks),
+        in_specs=[idx, idx],
+        out_specs=pl.BlockSpec((1, h, w), lambda pp, cc: (pp, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, h, w), jnp.float32),
+        interpret=interpret,
+    )(ly, lx)
+
+
+def _scatter_xla(ly, lx, h: int, w: int):
+    """Reference path (CPU tests / tiny batches): XLA scatter-add."""
+    ok = ((ly >= 0) & (ly < h) & (lx >= 0) & (lx < w)).astype(jnp.int32)
+    grid = jnp.zeros((h, w), jnp.int32)
+    return grid.at[jnp.clip(ly, 0, h - 1), jnp.clip(lx, 0, w - 1)].add(ok)
+
+
+@functools.lru_cache(maxsize=None)
+def _make(h: int, w: int, impl: str):
+    if impl == "xla":
+        return functools.partial(_scatter_xla, h=h, w=w)
+
+    interpret = impl == "interpret"
+
+    # Unbatched calls keep XLA's scatter: at P=1 the MXU kernel only ties it
+    # (measured in-situ on slam2d), and XLA fuses the scatter with its
+    # neighbors. The batched (vmapped) case is where the contraction wins
+    # big — 30-particle map updates went 82.5 -> 41.3 ms.
+    @jax.custom_batching.custom_vmap
+    def scatter(ly, lx):
+        if interpret:
+            return _scatter_batched(ly[None], lx[None], h, w, True)[0]
+        return _scatter_xla(ly, lx, h, w).astype(jnp.float32)
+
+    @scatter.def_vmap
+    def _batch_rule(axis_size, in_batched, ly, lx):
+        ly_b, lx_b = in_batched
+        ly = ly if ly_b else jnp.broadcast_to(ly, (axis_size,) + ly.shape)
+        lx = lx if lx_b else jnp.broadcast_to(lx, (axis_size,) + lx.shape)
+        return _scatter_batched(ly, lx, h, w, interpret), True
+
+    return scatter
+
+
+def scatter_counts_2d(ly, lx, h: int, w: int, impl: str | None = None):
+    """int32[h, w] unit-count deposit; vmap-aware (batches the MXU kernel).
+
+    ly/lx: int32[N] grid coordinates; invalid elements must hold ly >= h
+    (they contribute nothing). ``h`` must be a multiple of 8 and ``w`` of
+    128 for the TPU kernel (window grids are patch multiples).
+
+    impl: "mxu" | "xla" | "interpret" (testing); default picks "mxu" on TPU
+    backends and "xla" elsewhere.
+    """
+    if impl is None:
+        impl = "mxu" if jax.default_backend() == "tpu" else "xla"
+    if impl != "xla" and (h % 8 or w % 128):
+        impl = "xla"
+    out = _make(h, w, impl)(ly, lx)
+    return out.astype(jnp.int32)

@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..ops import scatter_matmul
 from . import pool as pool_mod
 from . import window as win_mod
 from .distance import DistanceConfig, edt2d
@@ -217,13 +218,14 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     free_ok = jnp.logical_and(free_mask, in_win(free_loc))
 
     # ---- scatter counts into the dense window ------------------------------
-    def scatter_counts(loc, ok):
-        grid = jnp.zeros((w, w), jnp.int32)
-        ly = jnp.clip(loc[..., 1], 0, w - 1).reshape(-1)
-        lx = jnp.clip(loc[..., 0], 0, w - 1).reshape(-1)
-        return grid.at[ly, lx].add(ok.reshape(-1).astype(jnp.int32))
+    # Free-space counts (~150k elements) ride the MXU one-hot contraction
+    # (ops/scatter_matmul.py); the ~B hit endpoints stay on XLA's scatter.
+    def scatter_counts(loc, ok, impl=None):
+        ly = jnp.where(ok, loc[..., 1], w).reshape(-1)
+        lx = jnp.where(ok, loc[..., 0], w).reshape(-1)
+        return scatter_matmul.scatter_counts_2d(ly, lx, w, w, impl=impl)
 
-    occ_add = scatter_counts(hit_loc, hit_ok)
+    occ_add = scatter_counts(hit_loc, hit_ok, impl="xla")
     vis_add = occ_add + scatter_counts(free_loc, free_ok)
 
     # ---- occupancy end-state + obstacle mask -------------------------------

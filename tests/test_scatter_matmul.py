@@ -1,0 +1,79 @@
+"""ops/scatter_matmul: the MXU one-hot deposit vs XLA scatter-add.
+
+The TPU kernel itself runs here in Pallas interpret mode (tests are CPU);
+exactness on hardware is additionally covered by the end-to-end benches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iris_lama_tpu.ops import scatter_matmul as sm
+
+H, W = 64, 128
+
+
+def _data(rng, n, batch=None):
+    shape = (n,) if batch is None else (batch, n)
+    ly = rng.integers(0, H, shape).astype(np.int32)
+    lx = rng.integers(0, W, shape).astype(np.int32)
+    # ~30% invalid: sentinel row (ly == H)
+    inv = rng.uniform(size=shape) < 0.3
+    ly = np.where(inv, H, ly)
+    return jnp.asarray(ly), jnp.asarray(lx)
+
+
+def test_interpret_matches_xla_single():
+    rng = np.random.default_rng(0)
+    ly, lx = _data(rng, 5000)
+    ref = sm.scatter_counts_2d(ly, lx, H, W, impl="xla")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl="interpret")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert out.dtype == jnp.int32
+
+
+def test_interpret_matches_xla_vmapped():
+    rng = np.random.default_rng(1)
+    ly, lx = _data(rng, 3000, batch=5)
+
+    def one(impl):
+        return jax.vmap(
+            lambda a, b: sm.scatter_counts_2d(a, b, H, W, impl=impl))(ly, lx)
+
+    np.testing.assert_array_equal(np.asarray(one("interpret")),
+                                  np.asarray(one("xla")))
+
+
+def test_pad_to_macro_chunk_is_neutral():
+    rng = np.random.default_rng(2)
+    # n smaller than one macro chunk: all padding
+    ly, lx = _data(rng, 17)
+    ref = sm.scatter_counts_2d(ly, lx, H, W, impl="xla")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl="interpret")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_counts_accumulate_duplicates():
+    ly = jnp.asarray(np.full(4100, 3, np.int32))
+    lx = jnp.asarray(np.full(4100, 7, np.int32))
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl="interpret")
+    assert int(out[3, 7]) == 4100
+    assert int(jnp.sum(out)) == 4100
+
+
+def test_non_tile_shapes_fall_back_to_xla():
+    rng = np.random.default_rng(3)
+    ly = jnp.asarray(rng.integers(0, 10, 50).astype(np.int32))
+    lx = jnp.asarray(rng.integers(0, 30, 50).astype(np.int32))
+    out = sm.scatter_counts_2d(ly, lx, 10, 30, impl="mxu")  # falls back
+    ref = sm.scatter_counts_2d(ly, lx, 10, 30, impl="xla")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_default_impl_on_cpu_is_xla():
+    # tests force the CPU backend; the auto path must not build TPU kernels
+    ly = jnp.zeros(10, jnp.int32)
+    lx = jnp.zeros(10, jnp.int32)
+    out = sm.scatter_counts_2d(ly, lx, H, W)
+    assert int(out[0, 0]) == 10
