@@ -140,6 +140,16 @@ class Slam2D:
         self._pose_host: Optional[Pose2D] = Pose2D()
         self._traj = jnp.zeros((self.TRAJ_CAP, 4), jnp.float32)
         self._n_updates = 0
+        # host spill tier (use_compression: LRU compress-on-evict parity)
+        self._spill = None
+        if options.use_compression and not options.transient_map:
+            from ..sdm.spill import HostSpillStore
+            self._spill = HostSpillStore(self.cfg, self.cfg.geometry,
+                                         codec=options.calgorithm)
+            self._sync_pose: Optional[Pose2D] = None   # map pose @ last sync
+            self._sync_odom: Optional[Pose2D] = None   # odometry @ last sync
+            self._potential: set = set()    # window keys ever approached
+            self._check_at = int(0.85 * options.capacity)
 
     # -- reference API ------------------------------------------------------
     def set_prior(self, prior: Pose2D) -> None:
@@ -206,6 +216,8 @@ class Slam2D:
         if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh and
                 abs(odelta.rotation()) <= self.options.rot_thresh):
             return False
+        if self._spill is not None:
+            self._spill_hooks(odometry)        # refill window / spill far
         self.odom_ = odometry
 
         # 2-3. optimize + map update (single fused device program); the pose
@@ -243,6 +255,8 @@ class Slam2D:
         if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh and
                 abs(odelta.rotation()) <= self.options.rot_thresh):
             return False
+        if self._spill is not None:
+            self._spill_hooks(odometry)
         self.odom_ = odometry
         self.map, self._pose_dev, self._traj, info = self._step(
             self.map, self._pose_dev, jnp.asarray(odelta.se2_array()),
@@ -252,9 +266,64 @@ class Slam2D:
         self._n_updates += 1
         return True
 
+    def full_map(self) -> mapping.SlamMapState:
+        """The complete map for IO/export: with the spill tier active this
+        re-merges host-stored patches (geometry unchanged; pool capacity may
+        be larger than options.capacity)."""
+        if self._spill is None or not self._spill.store:
+            return self.map
+        merged, _ = self._spill.merged_map(self.map)
+        return merged
+
     def memory_usage(self) -> int:
         """Allocated patch bytes (Map::memory, src/sdm/map.cpp:115-137)."""
         n = int(self.map.table.num_patches())
         length = self.cfg.geometry.patch_length
         per_patch = length * length * (2 + 2 + 1 + 4)
-        return n * per_patch
+        total = n * per_patch
+        if self._spill is not None:
+            total += self._spill.memory_usage()
+        return total
+
+    # -- host spill tier ------------------------------------------------------
+    def _approx_pose(self, odometry: Pose2D) -> np.ndarray:
+        """Predicted map-frame pose without a device pull: the device pose
+        at the last sync composed with the odometry increment since. Must be
+        called BEFORE ``self.odom_`` is advanced (the synced device pose
+        corresponds to the previous odometry). Drift between syncs is
+        covered by the refill margin."""
+        if self._sync_pose is None:
+            self._sync_now()
+        est = self._sync_pose + (self._sync_odom - odometry)
+        return np.asarray(est.xy())
+
+    def _sync_now(self) -> None:
+        """Pair the current device pose with its odometry (one pull)."""
+        self._pose_host = None
+        self._sync_pose = self.pose()
+        self._sync_odom = self.odom_
+
+    def _spill_hooks(self, odometry: Pose2D) -> None:
+        """Refill the upcoming window; spill when the pool nears capacity.
+
+        Pool-pressure checks are driven by a host-side upper bound (window
+        keys ever approached minus keys in the store) so the steady state
+        costs zero device pulls."""
+        sp = self._spill
+        xy = self._approx_pose(odometry)
+        if sp.store:
+            self.map = sp.refill(self.map, xy)
+        self._potential.update(int(k) for k in sp.window_keys_np(xy))
+        upper = len(self._potential) - len(sp.store)
+        if upper > self._check_at:
+            self._sync_now()
+            xy = self._approx_pose(odometry)
+            n_active = int(self.map.table.num_patches())
+            if n_active > sp.high:
+                self.map = sp.spill(self.map, xy)
+                n_active = int(self.map.table.num_patches())
+            # next check once the upper bound grows past high water again
+            # (floor of 8 so a keep-zone ~ capacity doesn't re-check every
+            # update — each check costs two device pulls)
+            self._check_at = (len(self._potential) - len(sp.store)
+                              + max(sp.high - n_active, 8))

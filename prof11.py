@@ -91,8 +91,10 @@ def stage_fn(depth):
             obst_new = (4 * occ_new) > vis_new
             d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
             dep = dep + d2[0, 0] + occ_new[0, 0] + vis_new[0, 0]
-        new_occ = state.occupied.at[0, 0, 0].add(
-            (bump + dep).astype(state.occupied.dtype) * 0 + 1)
+        # dep lands in the trash patch: a REAL dependency (an `x*0` gets
+        # constant-folded and the whole stage DCE'd), semantically inert
+        new_occ = state.occupied.at[-1, 0, 0].add(
+            (bump + dep).astype(state.occupied.dtype))
         return state._replace(occupied=new_occ)
 
     def step(ms, i):
