@@ -277,7 +277,9 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
         axis=(2, 3))
     need_new = jnp.logical_and(content_patch, slots < 0)
     cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
-    table, _ = pool_mod.table_insert(state.table, cand)
+    # window keys are unique -> the parallel 8-round claim insert applies
+    # (the sequential loop is 256 latency-bound steps under vmap)
+    table, _ = pool_mod.table_insert_unique(state.table, cand)
     slots = pool_mod.table_lookup(table, keys)
 
     # ---- patch-blocked writeback ------------------------------------------

@@ -239,6 +239,76 @@ def table_insert(table: PatchTable, keys):
     return jax.lax.cond(jnp.any(missing), do_insert, no_insert, table)
 
 
+def table_insert_unique(table: PatchTable, keys):
+    """Parallel batch insert for keys that are UNIQUE among non-negative
+    entries (window patch keys are, by construction).
+
+    Same contract as :func:`table_insert`, but instead of a sequential
+    per-key loop (K iterations — latency-poison inside a vmapped particle
+    update) it runs PROBE_WINDOW vectorized *claim rounds*: at round j every
+    still-pending key tries entry ``hash(k)+j``; contenders for the same
+    entry are resolved by a scatter-min (smallest key wins, losers advance
+    to the next round). A claimed entry is permanent, so the linear-probe
+    invariant (no EMPTY entry between a key's base and its position) holds
+    exactly as in the sequential version. Slot ids are assigned by
+    prefix-sum rank off the free stack — identical slots to the sequential
+    pop order. Claims that exceed the free pool are rolled back to
+    TOMBSTONE (lookups skip tombstones, so keys placed beyond them in the
+    same batch stay reachable).
+    """
+    keys = jnp.asarray(keys, jnp.int32)
+    pre = table_lookup(table, keys)
+    pending = jnp.logical_and(keys >= 0, pre == EMPTY)
+
+    def no_insert(tab):
+        return tab, pre
+
+    def do_insert(tab):
+        hsize = tab.table_size
+        k = keys.shape[0]
+        base = _hash(keys, hsize)
+        big = jnp.int32(jnp.iinfo(jnp.int32).max)
+        tkeys = tab.keys
+        placed_pos = jnp.full((k,), -1, jnp.int32)
+        pend = pending
+        for j in range(PROBE_WINDOW):
+            pos = (base + j) % hsize
+            entry = tkeys[pos]
+            free_entry = jnp.logical_or(entry == EMPTY, entry == TOMBSTONE)
+            want = jnp.logical_and(pend, free_entry)
+            scatter_pos = jnp.where(want, pos, hsize)
+            claims = jnp.full((hsize,), big, jnp.int32).at[scatter_pos].min(
+                keys, mode="drop")
+            won = jnp.logical_and(want, claims[pos] == keys)
+            placed_pos = jnp.where(won, pos, placed_pos)
+            tkeys = tkeys.at[jnp.where(won, pos, hsize)].set(keys,
+                                                             mode="drop")
+            pend = jnp.logical_and(pend, jnp.logical_not(won))
+
+        placed = placed_pos >= 0
+        rank = jnp.cumsum(placed.astype(jnp.int32)) - 1
+        can = jnp.logical_and(placed, rank < tab.n_free)
+        cap = tab.free_slots.shape[0]
+        slot_idx = jnp.clip(tab.n_free - 1 - rank, 0, cap - 1)
+        new_slot = tab.free_slots[slot_idx]
+        tslots = tab.slots.at[jnp.where(can, placed_pos, hsize)].set(
+            new_slot, mode="drop")
+        # roll back claims that exceeded the free pool
+        rollback = jnp.logical_and(placed, jnp.logical_not(can))
+        tkeys = tkeys.at[jnp.where(rollback, placed_pos, hsize)].set(
+            TOMBSTONE, mode="drop")
+        n_placed = jnp.sum(can.astype(jnp.int32))
+        n_fail = jnp.sum(pend.astype(jnp.int32)) \
+            + jnp.sum(rollback.astype(jnp.int32))
+        out = jnp.where(pre >= 0, pre, jnp.where(can, new_slot,
+                                                 jnp.int32(-1)))
+        new_tab = PatchTable(tkeys, tslots, tab.free_slots,
+                             tab.n_free - n_placed, tab.overflow + n_fail)
+        return new_tab, out
+
+    return jax.lax.cond(jnp.any(pending), do_insert, no_insert, table)
+
+
 def table_remove(table: PatchTable, keys):
     """Remove ``keys`` (int32[K]; negative entries skipped); tombstones the
     hash entries and returns freed slots (for cell-array clearing).

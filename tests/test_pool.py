@@ -153,3 +153,103 @@ def test_randomized_against_dict_oracle():
     got = np.asarray(pool.table_lookup(table, jnp.asarray(all_keys)))
     expect = np.array([oracle[k] for k in sorted(oracle)])
     np.testing.assert_array_equal(got, expect)
+
+
+# ---------------------------------------------------------------------------
+# table_insert_unique: the parallel 8-round claim insert
+# ---------------------------------------------------------------------------
+
+def _lookup_all(table, keys):
+    return np.asarray(pool.table_lookup(table, jnp.asarray(keys, jnp.int32)))
+
+
+def test_insert_unique_matches_sequential_simple():
+    rng = np.random.default_rng(0)
+    keys = rng.choice(100000, size=40, replace=False).astype(np.int32)
+    keys[5] = -1
+    keys[17] = -1   # padding entries are skipped
+
+    t_seq = pool.table_init(capacity=64)
+    t_par = pool.table_init(capacity=64)
+    t_seq, s_seq = pool.table_insert(t_seq, jnp.asarray(keys))
+    t_par, s_par = pool.table_insert_unique(t_par, jnp.asarray(keys))
+    # identical slot assignment (same free-stack pop order) and counts
+    np.testing.assert_array_equal(np.asarray(s_par), np.asarray(s_seq))
+    assert int(t_par.num_patches()) == int(t_seq.num_patches())
+    # all lookups agree
+    np.testing.assert_array_equal(_lookup_all(t_par, keys),
+                                  _lookup_all(t_seq, keys))
+
+
+def test_insert_unique_existing_keys_and_second_batch():
+    rng = np.random.default_rng(1)
+    a = rng.choice(100000, size=30, replace=False).astype(np.int32)
+    b = np.concatenate([a[:10], rng.choice(100000, size=20,
+                                           replace=False) + 200000])
+    b = b.astype(np.int32)
+    table = pool.table_init(capacity=128)
+    table, _ = pool.table_insert_unique(table, jnp.asarray(a))
+    table, slots_b = pool.table_insert_unique(table, jnp.asarray(b))
+    # existing keys return their existing slots
+    np.testing.assert_array_equal(np.asarray(slots_b[:10]),
+                                  _lookup_all(table, a[:10]))
+    assert np.all(_lookup_all(table, b) >= 0)
+    assert int(table.num_patches()) == 50
+
+
+def test_insert_unique_pool_full_overflow():
+    table = pool.table_init(capacity=4)
+    keys = jnp.asarray(np.arange(10, 17, dtype=np.int32) * 977)
+    table, slots = pool.table_insert_unique(table, keys)
+    s = np.asarray(slots)
+    assert (s >= 0).sum() == 4
+    assert int(table.overflow) == 3
+    assert int(table.num_patches()) == 4
+    # placed keys all findable; failed ones absent
+    found = _lookup_all(table, np.asarray(keys))
+    np.testing.assert_array_equal(found, s)
+
+
+def test_insert_unique_after_removals_uses_tombstones():
+    table = pool.table_init(capacity=32)
+    first = jnp.asarray(np.arange(1, 13, dtype=np.int32) * 4099)
+    table, _ = pool.table_insert_unique(table, first)
+    table, _ = pool.table_remove(table, first[:6])
+    second = jnp.asarray(np.arange(20, 30, dtype=np.int32) * 6151)
+    table, slots = pool.table_insert_unique(table, second)
+    assert np.all(np.asarray(slots) >= 0)
+    keep = np.asarray(first[6:])
+    assert np.all(_lookup_all(table, keep) >= 0)
+    np.testing.assert_array_equal(_lookup_all(table, np.asarray(second)),
+                                  np.asarray(slots))
+    assert int(table.num_patches()) == 16
+
+
+def test_insert_unique_randomized_vs_dict_oracle():
+    rng = np.random.default_rng(7)
+    table = pool.table_init(capacity=1024)
+    oracle = {}
+    for _ in range(12):
+        batch = rng.choice(5000, size=48, replace=False).astype(np.int32)
+        batch[rng.uniform(size=48) < 0.3] = -1
+        table, slots = pool.table_insert_unique(table, jnp.asarray(batch))
+        s = np.asarray(slots)
+        for k, sl in zip(batch, s):
+            if k < 0:
+                continue
+            assert sl >= 0
+            if k in oracle:
+                assert oracle[k] == sl
+            else:
+                oracle[k] = sl
+        # remove a random known subset
+        if oracle and rng.uniform() < 0.5:
+            rm = rng.choice(list(oracle), size=min(9, len(oracle)),
+                            replace=False).astype(np.int32)
+            table, _ = pool.table_remove(table, jnp.asarray(rm))
+            for k in rm:
+                del oracle[int(k)]
+    ks = np.asarray(list(oracle), np.int32)
+    np.testing.assert_array_equal(_lookup_all(table, ks),
+                                  np.asarray([oracle[int(k)] for k in ks]))
+    assert int(table.num_patches()) == len(oracle)
