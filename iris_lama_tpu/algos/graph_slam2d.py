@@ -349,16 +349,30 @@ class GraphSlam2D:
         self.accdist = 0.0
 
     # -- map regeneration (cpp:131-186) --------------------------------------
-    def generate_occupancy_map(self) -> mapping.SlamMapState:
-        """Re-rasterize all key-pose clouds at their optimized poses."""
-        cfg = dataclasses.replace(self.slam.cfg, capacity=4 * self.slam.cfg.capacity)
-        state = mapping.slam_map_init(cfg)
-        step = jax.jit(lambda s, p, pts, msk, org: mapping.update_maps(
-            s, cfg, p, pts, msk, org)[0], donate_argnums=(0,))
-        for kp in self.key_poses:
-            state = step(state, _se2(kp.pose), jnp.asarray(kp.points),
-                         jnp.asarray(kp.mask), jnp.asarray(kp.origin))
-        return state
+    def generate_occupancy_map(self, mesh=None) -> mapping.SlamMapState:
+        """Re-rasterize all key-pose clouds at their optimized poses.
+
+        Batch job, not a sequential loop: counts are order-independent, so
+        all scans deposit at once (parallel/map_rebuild.py); pass a
+        ``jax.sharding.Mesh`` to shard scans across devices (rasterize)
+        and grid rows (EDT) — results are identical either way.
+        """
+        from ..parallel import map_rebuild
+
+        cfg = dataclasses.replace(self.slam.cfg,
+                                  capacity=4 * self.slam.cfg.capacity)
+        if not self.key_poses:
+            return mapping.slam_map_init(cfg)
+        poses = np.asarray([np.asarray(_se2(kp.pose)) for kp in
+                            self.key_poses], np.float32)
+        points = jnp.asarray(np.stack([kp.points for kp in self.key_poses]))
+        masks = jnp.asarray(np.stack([kp.mask for kp in self.key_poses]))
+        origins = jnp.asarray(np.stack([kp.origin for kp in self.key_poses]))
+        org, h, w = map_rebuild.grid_bounds(cfg, cfg.geometry, poses)
+        dense = map_rebuild.rebuild_dense(cfg, jnp.asarray(poses), points,
+                                          masks, origins, org, h, w,
+                                          mesh=mesh)
+        return map_rebuild.dense_to_state(cfg, dense)
 
     def generate_coarse_distance_map(self, resolution: float = 0.1,
                                      l2_max: float = 5.0

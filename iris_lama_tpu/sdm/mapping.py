@@ -278,16 +278,25 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     need_new = jnp.logical_and(content_patch, slots < 0)
     cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
     # window keys are unique -> the parallel 8-round claim insert applies
-    # (the sequential loop is 256 latency-bound steps under vmap)
-    table, _ = pool_mod.table_insert_unique(state.table, cand)
-    slots = pool_mod.table_lookup(table, keys)
+    # (the sequential loop is 256 latency-bound steps under vmap); its
+    # returned slots merge with the probe result — no second lookup
+    table, new_slots = pool_mod.table_insert_unique(state.table, cand)
+    slots = jnp.where(need_new, new_slots.reshape(wp, wp), slots)
 
     # ---- patch-blocked writeback ------------------------------------------
+    # only patches whose cells actually changed are scattered (the rest
+    # redirect to the trash slot inside scatter_window) — a scan touches
+    # roughly half the window's patches
+    counts_changed = (occ_add + vis_add) > 0
+    dist_changed = dist_merged != dist_old
     occupied = win_mod.scatter_window(state.occupied, slots,
-                                      occ_new.astype(state.occupied.dtype))
+                                      occ_new.astype(state.occupied.dtype),
+                                      write_mask=counts_changed)
     visited = win_mod.scatter_window(state.visited, slots,
-                                     vis_new.astype(OCC_DTYPE))
-    dist = win_mod.scatter_window(state.dist, slots, dist_merged)
+                                     vis_new.astype(OCC_DTYPE),
+                                     write_mask=counts_changed)
+    dist = win_mod.scatter_window(state.dist, slots, dist_merged,
+                                  write_mask=dist_changed)
 
     new_state = SlamMapState(table, occupied, visited, dist)
 

@@ -16,7 +16,6 @@ patch-block tensors are [py, px, ly, lx].
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .geometry import MapGeometry, PKEY_BITS
@@ -40,36 +39,30 @@ def window_patch_keys(geo: MapGeometry, org_cell, wp: int):
     return (px[None, :] << PKEY_BITS) | py[:, None]
 
 
-def select_rows_matmul(arr2d, idx):
-    """arr2d[idx] via one-hot matmul (TPU has no hardware gather; row
-    selection rides the MXU instead). arr2d [M, K] any dtype -> f32 [N, K]."""
-    m = arr2d.shape[0]
-    oh = (idx[:, None] == jnp.arange(m, dtype=jnp.int32)).astype(jnp.float32)
-    return jax.lax.dot_general(oh, arr2d.astype(jnp.float32),
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-
-
 def gather_window(table, arr, keys, default, slots=None):
     """Gather a dense [wp*L, wp*L] grid from pool array ``arr`` [P+1, L, L].
 
     Missing patches are filled with ``default``. Returns (grid, slots) where
     slots is int32[wp, wp] (-1 for missing) for reuse by the writeback and
     by further gathers of sibling arrays (pass it back in to skip the table
-    probe). Patch blocks are pulled with a one-hot matmul (MXU) rather than
-    a serialized gather.
+    probe).
+
+    Patch blocks are pulled with XLA's native row gather. (A one-hot matmul
+    variant was the original choice; it loses badly once the map is vmapped
+    over particles, because it casts the ENTIRE pool array to f32 per
+    particle — measured 50.3 ms vs 0.59 ms for 3 gathers at 30 particles,
+    prof12. Row gather also keeps the pool dtype end-to-end.)
     """
     wp = keys.shape[0]
     length = arr.shape[-1]
     if slots is None:
         slots = pool_mod.table_lookup(table, keys)         # [wp, wp]
     safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
-    flat = select_rows_matmul(arr.reshape(arr.shape[0], -1), safe)
-    blocks = flat.reshape(wp, wp, length, length)
+    blocks = arr[safe].reshape(wp, wp, length, length)
     blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
-                       jnp.float32(default))
-    grid = blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length)
-    return grid.astype(arr.dtype), slots
+                       jnp.asarray(default, arr.dtype))
+    return blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length), \
+        slots
 
 
 def scatter_window(arr, slots, grid, write_mask=None):

@@ -19,13 +19,15 @@ L = 32              # patch length
 WPP = 16            # window patches per side (16x16 = 256 blocks)
 
 
-def bench(body, label, reps=10):
+def bench(body, label, *arrays, reps=10):
+    # arrays are explicit jit args — closing over device arrays bakes them
+    # into the HLO as literals (413 on the remote-compile tunnel)
     step = jax.jit(body)
-    out = step(jnp.float32(0), jnp.int32(0))
+    out = step(jnp.float32(0), jnp.int32(0), *arrays)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(reps):
-        out = step(out * 0, jnp.int32(i + 1))
+        out = step(out * 0, jnp.int32(i + 1), *arrays)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"{label:48s} {dt:8.2f} ms", flush=True)
@@ -49,7 +51,7 @@ def main():
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    def body_onehot(prev, i):
+    def body_onehot(prev, i, occ, vis, dist, slots):
         def one(o, v, d, s):
             s = s + i * 0 + prev.astype(jnp.int32) * 0
             tot = jnp.float32(0)
@@ -59,7 +61,7 @@ def main():
             return tot
         return jnp.sum(jax.vmap(one)(occ, vis, dist, slots))
 
-    def body_rowgather(prev, i):
+    def body_rowgather(prev, i, occ, vis, dist, slots):
         def one(o, v, d, s):
             s = s + i * 0 + prev.astype(jnp.int32) * 0
             tot = jnp.float32(0)
@@ -69,19 +71,19 @@ def main():
             return tot
         return jnp.sum(jax.vmap(one)(occ, vis, dist, slots))
 
-    bench(body_onehot, "3 window gathers via one-hot matmul")
-    bench(body_rowgather, "3 window gathers via XLA row gather")
+    bench(body_onehot, "3 window gathers via one-hot matmul", occ, vis, dist, slots)
+    bench(body_rowgather, "3 window gathers via XLA row gather", occ, vis, dist, slots)
 
     # writeback: scatter 256 blocks back per particle
     blocks = jnp.asarray(rng.uniform(0, 1, (P, WPP * WPP, L, L)).astype(
         np.float32))
 
-    def body_writeback(prev, i):
+    def body_writeback(prev, i, dist, slots, blocks):
         def one(d, s, b):
             return d.at[s + i * 0 + prev.astype(jnp.int32) * 0].set(b)
         return jnp.sum(jax.vmap(one)(dist, slots, blocks)[:, 0, 0, 0])
 
-    bench(body_writeback, "window writeback .at[slots].set (1 array)")
+    bench(body_writeback, "window writeback .at[slots].set (1 array)", dist, slots, blocks)
 
     # deposit kernel chunk sweep
     from iris_lama_tpu.ops import scatter_matmul as sm
@@ -94,17 +96,17 @@ def main():
         sm._MACRO = sm.SUBS * chunk
         sm._scatter_batched.clear_cache()
 
-        def body_dep(prev, i):
+        def body_dep(prev, i, ly, lx):
             out = sm._scatter_batched(ly + i * 0 + prev.astype(jnp.int32) * 0,
                                       lx, W, W)
             return jnp.sum(out[:, 0])
-        bench(body_dep, f"deposit kernel chunk={chunk} P={P}")
+        bench(body_dep, f"deposit kernel chunk={chunk} P={P}", ly, lx)
 
-        def body_dep1(prev, i):
+        def body_dep1(prev, i, ly, lx):
             out = sm._scatter_batched(
                 ly[:1] + i * 0 + prev.astype(jnp.int32) * 0, lx[:1], W, W)
             return jnp.sum(out[:, 0])
-        bench(body_dep1, f"deposit kernel chunk={chunk} P=1")
+        bench(body_dep1, f"deposit kernel chunk={chunk} P=1", ly, lx)
     sm.CHUNK = 512
     sm._MACRO = sm.SUBS * 512
 
