@@ -64,34 +64,59 @@ class DistanceConfig:
         return math.sqrt(self.max_sqdist) * self.geometry.resolution
 
 
+def _edt_dtype(radius: int, max_sqdist: int):
+    """Narrowest integer type the capped transform fits in.
+
+    Bounds: vertical values stay <= radius+1 (capped from the start — a
+    min-plus erosion with saturated inputs yields the same capped result),
+    squared values <= (radius+1)^2 + radius^2 and max_sqdist. Narrow types
+    cut pass traffic 4x (u8) / 2x (i16) and multiply VPU lanes — the
+    transform is bandwidth/VPU bound, not FLOP bound.
+    """
+    hi = max((radius + 1) ** 2 + radius * radius, max_sqdist + 1,
+             radius + 1 + radius)
+    if hi <= 255:
+        return jnp.uint8
+    if hi <= 32767:
+        return jnp.int16
+    return jnp.int32
+
+
 def edt2d(obstacle, max_sqdist: int, radius: int):
     """Exact capped squared EDT of a bool grid [H, W] (indexed [y, x]).
 
     Returns int32[H, W] sqdist, clipped to ``max_sqdist``.
     """
+    dt = _edt_dtype(radius, max_sqdist)
+    big_g = jnp.asarray(radius + 1, dt)   # vertical cap doubles as BIG
+
     # --- vertical pass: g[y, x] = min |dy| with obstacle[(y+dy), x] ---------
-    g = jnp.where(obstacle, jnp.int32(0), _BIG)
+    # g stays <= radius+1 throughout (g_new = min(g_old, ...) and the
+    # initial values are 0 / radius+1), so shifts can never overflow dt.
+    g = jnp.where(obstacle, jnp.asarray(0, dt), big_g)
     shift = 1
     while shift <= radius:
-        up = jnp.concatenate([g[shift:], jnp.full((shift, g.shape[1]), _BIG,
-                                                  jnp.int32)], axis=0)
-        down = jnp.concatenate([jnp.full((shift, g.shape[1]), _BIG, jnp.int32),
+        sh = jnp.asarray(shift, dt)
+        up = jnp.concatenate([g[shift:], jnp.full((shift, g.shape[1]),
+                                                  big_g, dt)], axis=0)
+        down = jnp.concatenate([jnp.full((shift, g.shape[1]), big_g, dt),
                                 g[:-shift]], axis=0)
-        g = jnp.minimum(g, jnp.minimum(up + shift, down + shift))
+        g = jnp.minimum(g, jnp.minimum(up + sh, down + sh))
+        g = jnp.minimum(g, big_g)
         shift <<= 1
-    g = jnp.minimum(g, radius + 1)
 
     # --- horizontal pass: d2 = min_dx dx^2 + g[y, x+dx]^2 -------------------
     g2 = g * g
     d2 = g2
-    cap = jnp.int32(max_sqdist)
+    cap = jnp.asarray(max_sqdist, dt)
     for dx in range(1, radius + 1):
+        dx2 = jnp.asarray(dx * dx, dt)
         left = jnp.concatenate([g2[:, dx:], jnp.full((g.shape[0], dx), cap,
-                                                     jnp.int32)], axis=1)
-        right = jnp.concatenate([jnp.full((g.shape[0], dx), cap, jnp.int32),
+                                                     dt)], axis=1)
+        right = jnp.concatenate([jnp.full((g.shape[0], dx), cap, dt),
                                  g2[:, :-dx]], axis=1)
-        d2 = jnp.minimum(d2, jnp.minimum(left, right) + dx * dx)
-    return jnp.minimum(d2, cap)
+        d2 = jnp.minimum(d2, jnp.minimum(left, right) + dx2)
+    return jnp.minimum(d2, cap).astype(jnp.int32)
 
 
 def sqdist_to_meters(d2, cfg: DistanceConfig):

@@ -45,8 +45,18 @@ def ray_cells(from_cells, to_cells, max_steps: int):
 
     t = jnp.arange(1, max_steps + 1, dtype=jnp.int32)          # [T]
     # c_j(t) = (2 t |d_j| + n) // (2 n)  — see module docstring.
+    # Integer division by a per-beam denominator is serialized scalar work
+    # on the VPU (~[B, T, 2] of them); compute the quotient with an f32
+    # reciprocal instead and repair the (at most ±1) rounding with one
+    # integer multiply-compare each way. Exact: operands stay below 2^24
+    # (num <= 2*T*|d| + n; callers keep T, |d| in the hundreds).
     num = 2 * t[None, :, None] * ad[:, None, :] + n_safe[:, None, None]
-    c = num // (2 * n_safe[:, None, None])                     # [B, T, 2]
+    den = 2 * n_safe[:, None, None]                            # [B, 1, 1]
+    q = jnp.floor(num.astype(jnp.float32)
+                  * (1.0 / den.astype(jnp.float32))).astype(jnp.int32)
+    # repair float rounding: ensure q*den <= num < (q+1)*den
+    q = jnp.where(q * den > num, q - 1, q)
+    c = jnp.where((q + 1) * den <= num, q + 1, q)              # [B, T, 2]
     cells = f[:, None, :] + step[:, None, :] * c
     mask = t[None, :] <= (n[:, None] - 1)                      # [B, T]
     return cells, mask
