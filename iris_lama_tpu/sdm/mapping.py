@@ -52,6 +52,14 @@ from .raycast import ray_cells
 OCC_DTYPE = jnp.uint16   # reference cell: {uint16 occupied, uint16 visited}
                           # (frequency_occupancy_map.h frequency struct)
 
+# Debug: compile the scan update WITHOUT pool writeback/alloc (the map
+# never changes after the first scan — wrong results, real timing). Used
+# to bound the writeback cost with the production bench, because stage
+# profiling is untrustworthy on the tunnel (see CLAUDE.md).
+import os
+_DEBUG_NO_WRITEBACK = bool(int(os.environ.get("IRIS_DEBUG_NO_WRITEBACK",
+                                              "0")))
+
 
 @dataclasses.dataclass(frozen=True)
 class MappingConfig:
@@ -270,6 +278,15 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     dist_merged = jnp.where(interior, dist_new, dist_old)
 
 
+    if _DEBUG_NO_WRITEBACK:
+        tot = (jnp.sum(dist_merged) + jnp.sum(occ_new).astype(jnp.float32)
+               + jnp.sum(vis_new).astype(jnp.float32))
+        dbg_state = state._replace(dist=state.dist.at[-1, 0, 0].add(tot))
+        info = {"processed_cells": jnp.sum(free_ok) + jnp.sum(hit_ok),
+                "num_patches": state.table.num_patches(),
+                "overflow": state.table.overflow}
+        return dbg_state, info
+
     # ---- allocate patches that gained content ------------------------------
     content = ((occ_add + vis_add) > 0) | (interior & (d2 < dcfg.max_sqdist))
     content_patch = jnp.any(
@@ -350,7 +367,11 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
 
     def do_remove(st):
         table, freed = pool_mod.table_remove(st.table, rm_keys)
-        safe = jnp.where(freed >= 0, freed, st.dist.shape[0] - 1)
+        # distinct out-of-range rows for non-freed entries (unique scatter
+        # indices -> parallel lowering; see scatter_window)
+        oob = st.dist.shape[0] + jnp.arange(rm_keys.shape[0],
+                                            dtype=jnp.int32)
+        safe = jnp.where(freed >= 0, freed, oob)
         length = geo.patch_length
         zero_occ = jnp.zeros((rm_keys.shape[0], length, length),
                              st.occupied.dtype)
@@ -359,9 +380,11 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
                          cfg.distance.max_dist, jnp.float32)
         return SlamMapState(
             table,
-            st.occupied.at[safe].set(zero_occ),
-            st.visited.at[safe].set(zero_vis),
-            st.dist.at[safe].set(max_d),
+            st.occupied.at[safe].set(zero_occ, mode="drop",
+                                     unique_indices=True),
+            st.visited.at[safe].set(zero_vis, mode="drop",
+                                    unique_indices=True),
+            st.dist.at[safe].set(max_d, mode="drop", unique_indices=True),
         )
 
     return jax.lax.cond(jnp.any(rm_keys >= 0), do_remove, lambda st: st,

@@ -72,17 +72,23 @@ def extract_patches(state, cfg, keys):
     dist = state.dist[safe]
 
     table, freed = pool_mod.table_remove(state.table, keys)
-    safe_freed = jnp.where(freed >= 0, freed, trash)
     m = keys.shape[0]
+    # distinct out-of-range rows for non-freed entries: unique scatter
+    # indices keep XLA's scatter lowering parallel (see scatter_window)
+    oob = state.dist.shape[0] + jnp.arange(m, dtype=jnp.int32)
+    safe_freed = jnp.where(freed >= 0, freed, oob)
     length = state.dist.shape[-1]
     zero_occ = jnp.zeros((m, length, length), state.occupied.dtype)
     zero_vis = jnp.zeros((m, length, length), OCC_DTYPE)
     max_d = jnp.full((m, length, length), cfg.distance.max_dist, jnp.float32)
     new_state = state._replace(
         table=table,
-        occupied=state.occupied.at[safe_freed].set(zero_occ),
-        visited=state.visited.at[safe_freed].set(zero_vis),
-        dist=state.dist.at[safe_freed].set(max_d),
+        occupied=state.occupied.at[safe_freed].set(zero_occ, mode="drop",
+                                                   unique_indices=True),
+        visited=state.visited.at[safe_freed].set(zero_vis, mode="drop",
+                                                 unique_indices=True),
+        dist=state.dist.at[safe_freed].set(max_d, mode="drop",
+                                           unique_indices=True),
     )
     return new_state, occ, vis, dist, present
 
@@ -104,18 +110,16 @@ def inject_patches(state, cfg, keys, occ, vis, dist):
     # device: freshly injected, or the device already had a (newer) copy
     droppable = jnp.logical_or(injected, pre >= 0)
 
-    trash = state.dist.shape[0] - 1
-    target = jnp.where(injected, post, trash)
-    occupied = state.occupied.at[target].set(occ.astype(state.occupied.dtype))
-    visited = state.visited.at[target].set(vis.astype(OCC_DTYPE))
-    dist_arr = state.dist.at[target].set(dist.astype(jnp.float32))
-    # stray writes above land in the trash slot — restore its invariants
-    length = state.dist.shape[-1]
-    occupied = occupied.at[trash].set(
-        jnp.zeros((length, length), state.occupied.dtype))
-    visited = visited.at[trash].set(jnp.zeros((length, length), OCC_DTYPE))
-    dist_arr = dist_arr.at[trash].set(
-        jnp.full((length, length), cfg.distance.max_dist, jnp.float32))
+    # distinct out-of-range rows for skipped entries: dropped by XLA,
+    # unique indices keep the scatter parallel, trash stays clean
+    oob = state.dist.shape[0] + jnp.arange(keys.shape[0], dtype=jnp.int32)
+    target = jnp.where(injected, post, oob)
+    occupied = state.occupied.at[target].set(
+        occ.astype(state.occupied.dtype), mode="drop", unique_indices=True)
+    visited = state.visited.at[target].set(vis.astype(OCC_DTYPE),
+                                           mode="drop", unique_indices=True)
+    dist_arr = state.dist.at[target].set(dist.astype(jnp.float32),
+                                         mode="drop", unique_indices=True)
     return state._replace(table=table, occupied=occupied, visited=visited,
                           dist=dist_arr), droppable
 

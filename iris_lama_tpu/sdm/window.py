@@ -68,24 +68,32 @@ def gather_window(table, arr, keys, default, slots=None):
 def scatter_window(arr, slots, grid, write_mask=None):
     """Write a dense window grid back into pool array ``arr``.
 
-    ``slots`` int32[wp, wp] from gather_window (missing -> trash slot).
+    ``slots`` int32[wp, wp] from gather_window (missing -> dropped).
     ``write_mask`` optional bool[wp*L, wp*L]: cells not in the mask keep the
     grid value only if the caller already merged old values (callers pass a
     grid built as ``where(mask, new, old)``); when given, patches with no
-    masked cell are skipped entirely via redirect to the trash slot.
+    masked cell are skipped entirely.
+
+    Skipped/missing blocks route to DISTINCT out-of-range rows (dropped by
+    XLA) rather than a shared trash row: duplicate scatter indices force
+    XLA's serialized scatter lowering, unique ones keep it parallel — and
+    the trash slot stays clean as a bonus.
     """
     wp = slots.shape[0]
     length = arr.shape[-1]
-    trash = arr.shape[0] - 1
     blocks = grid.reshape(wp, length, wp, length).transpose(0, 2, 1, 3)
-    target = jnp.where(slots >= 0, slots, trash)
+    nb = wp * wp
+    oob = arr.shape[0] + jnp.arange(nb, dtype=jnp.int32).reshape(wp, wp)
+    target = jnp.where(slots >= 0, slots, oob)
     if write_mask is not None:
-        mblocks = write_mask.reshape(wp, length, wp, length).transpose(0, 2, 1, 3)
+        mblocks = write_mask.reshape(wp, length, wp,
+                                     length).transpose(0, 2, 1, 3)
         patch_has = jnp.any(mblocks, axis=(2, 3))
-        target = jnp.where(patch_has, target, trash)
+        target = jnp.where(patch_has, target, oob)
     flat_slots = target.reshape(-1)
-    flat_blocks = blocks.reshape(wp * wp, length, length).astype(arr.dtype)
-    return arr.at[flat_slots].set(flat_blocks, mode="drop")
+    flat_blocks = blocks.reshape(nb, length, length).astype(arr.dtype)
+    return arr.at[flat_slots].set(flat_blocks, mode="drop",
+                                  unique_indices=True)
 
 
 def cells_to_local(org_cell, cells):
