@@ -74,6 +74,12 @@ class PFSlam2DOptions:
     # match-travel margin can be much tighter than Slam2D's — this shrinks
     # the window from 18 to 16 patches (-21% EDT/gather/writeback area)
     pose_slack: float = 0.5
+    # Resident sliding window (sdm/mapping.py): keep the dense per-particle
+    # window grids as primary state and exchange with the patch pool only
+    # when the filter strays from the shared window origin — removes the
+    # per-update gather/alloc/writeback entirely at the cost of a slightly
+    # wider window. Exact (same windowed-EDT contract).
+    resident_window: bool = True
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -94,13 +100,19 @@ class PFSlam2DOptions:
 
 
 class ParticleSet(NamedTuple):
-    """All particle state; every array has leading [N]."""
+    """All particle state; every array has leading [N] except ``res_org``
+    (the shared resident-window origin; None in legacy pool-per-update
+    mode)."""
 
     pose: jax.Array              # f32[N, 4] SE(2)
     weight: jax.Array            # f32[N]
     weight_sum: jax.Array        # f32[N]
     normalized: jax.Array        # f32[N]
     maps: mapping.SlamMapState   # arrays [N, ...]
+    res_org: Optional[jax.Array] = None   # i32[2] shared window origin
+    res_occ: Optional[jax.Array] = None   # u16[N, W, W]
+    res_vis: Optional[jax.Array] = None   # u16[N, W, W]
+    res_dist: Optional[jax.Array] = None  # f32[N, W, W]
 
 
 def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
@@ -110,12 +122,24 @@ def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
     maps = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape), one_map)
     # materialize (broadcast views are fine under jit but be explicit)
     maps = jax.tree.map(jnp.array, maps)
+    res = {}
+    if opts.resident_window:
+        geo = cfg.geometry
+        w = cfg.resident_window_cells
+        prior = jnp.asarray(prior_se2, jnp.float32)
+        res = dict(
+            res_org=mapping.resident_org(cfg, geo.w2m(prior[:2])),
+            res_occ=jnp.zeros((n, w, w), mapping.OCC_DTYPE),
+            res_vis=jnp.zeros((n, w, w), mapping.OCC_DTYPE),
+            res_dist=jnp.full((n, w, w), cfg.distance.max_dist, jnp.float32),
+        )
     return ParticleSet(
         pose=jnp.broadcast_to(prior_se2, (n, 4)).astype(jnp.float32),
         weight=jnp.zeros((n,), jnp.float32),
         weight_sum=jnp.zeros((n,), jnp.float32),
         normalized=jnp.full((n,), 1.0 / n, jnp.float32),
         maps=maps,
+        **res,
     )
 
 
@@ -161,33 +185,21 @@ def _scan_match_one(cfg, sopts, map_state, pose0, points_xy, mask, meas_sigma):
     return res.state, lik, org
 
 
-def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
-                   points, mask, origin):
-    """Full per-scan PF update (scan match -> weights -> resample -> maps).
-
-    Motion sampling runs separately per odometry packet (motion_step) to
-    mirror the reference's every-call drawFromMotion.
-    """
-    cfg = opts.mapping_config()
-    sopts = opts.solver_options()
+def _weights_and_resample(opts: PFSlam2DOptions, pset: ParticleSet, key,
+                          states, liks):
+    """Steps 3-4: normalize + Neff + systematic resampling
+    (pf_slam2d.cpp:511-574). Returns (idx, pose, weight, weight_sum, nw,
+    neff, do_resample)."""
     n = opts.particles
-
-    # 2. per-particle scan match + likelihood (THREAD BOUNDARY -> vmap)
-    states, liks, orgs = jax.vmap(
-        lambda m, p: _scan_match_one(cfg, sopts, m, p, points[:, :2], mask,
-                                     opts.meas_sigma)
-    )(pset.maps, pset.pose)
     weight = pset.weight + liks
     weight_sum = pset.weight_sum + liks
 
-    # 3. normalize + Neff (pf_slam2d.cpp:511-535)
     gain = 1.0 / (opts.meas_sigma_gain * n)
     max_w = jnp.max(weight)
     nw = jnp.exp(gain * (weight - max_w))
     nw = nw / jnp.sum(nw)
     neff = 1.0 / jnp.sum(nw * nw)
 
-    # 4. systematic resampling when Neff < N/2 (pf_slam2d.cpp:537-574)
     do_resample = neff < (n * 0.5)
     u = jax.random.uniform(key)
     interval = 1.0 / n
@@ -200,6 +212,33 @@ def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
     pose = states[idx]
     weight = jnp.where(do_resample, jnp.zeros_like(weight), weight[idx])
     weight_sum = weight_sum[idx]
+    return idx, pose, weight, weight_sum, nw, neff, do_resample
+
+
+def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
+                   points, mask, origin):
+    """Full per-scan PF update (scan match -> weights -> resample -> maps).
+
+    Motion sampling runs separately per odometry packet (motion_step) to
+    mirror the reference's every-call drawFromMotion. Dispatches to the
+    resident-window implementation when the particle set carries resident
+    grids.
+    """
+    if pset.res_org is not None:
+        return _pf_update_step_resident(opts, pset, key, points, mask,
+                                        origin)
+    cfg = opts.mapping_config()
+    sopts = opts.solver_options()
+
+    # 2. per-particle scan match + likelihood (THREAD BOUNDARY -> vmap)
+    states, liks, orgs = jax.vmap(
+        lambda m, p: _scan_match_one(cfg, sopts, m, p, points[:, :2], mask,
+                                     opts.meas_sigma)
+    )(pset.maps, pset.pose)
+
+    # 3-4. weights + resampling
+    idx, pose, weight, weight_sum, nw, neff, do_resample = \
+        _weights_and_resample(opts, pset, key, states, liks)
     maps = jax.tree.map(lambda a: a[idx], pset.maps)
 
     # 5. per-particle map update (second THREAD BOUNDARY -> vmap)
@@ -215,11 +254,90 @@ def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
     return new_set, info
 
 
+def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
+                             points, mask, origin):
+    """Resident-window PF update: identical math to :func:`pf_update_step`
+    but all per-update map work happens on the dense resident grids; the
+    patch pool is only exchanged on a (rare) re-org."""
+    cfg = opts.mapping_config()
+    sopts = opts.solver_options()
+    geo = cfg.geometry
+    max_dist = cfg.distance.max_dist
+
+    # 0. re-org when any particle leaves the safe zone (device-side cond:
+    # flush every particle's window to its pool, re-center on the mean pose,
+    # regather — everything stays on device)
+    p0cell = geo.w2m(pset.pose[:, :2])                       # [N, 2]
+    safe = jnp.all(mapping.resident_safe(cfg, pset.res_org, p0cell))
+
+    def do_reorg(op):
+        maps, org, occ, vis, dist = op
+        maps = jax.vmap(
+            lambda m, o, v, d: mapping.resident_flush(m, cfg, org, o, v, d)
+        )(maps, occ, vis, dist)
+        anchor = jnp.mean(p0cell.astype(jnp.float32), axis=0).astype(
+            jnp.int32)
+        new_org = mapping.resident_org(cfg, anchor)
+        occ, vis, dist = jax.vmap(
+            lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
+        return maps, new_org, occ, vis, dist
+
+    maps, org, occ, vis, dist = jax.lax.cond(
+        safe, lambda op: op, do_reorg,
+        (pset.maps, pset.res_org, pset.res_occ, pset.res_vis, pset.res_dist))
+
+    # 2. per-particle scan match + likelihood on the resident distance grids
+    def match_one(dist_i, pose0):
+        res = match.solve_window(dist_i, org, geo, max_dist, points[:, :2],
+                                 mask, pose0, sopts)
+        hits = lie.se2_apply(res.state, points[:, :2])
+        from ..sdm.distance import interp_window
+        d, _ = interp_window(dist_i, org, geo, hits, max_dist)
+        d = d * mask.astype(jnp.float32)
+        return res.state, jnp.sum(-(d * d) / opts.meas_sigma)
+
+    states, liks = jax.vmap(match_one)(dist, pset.pose)
+
+    # 3-4. weights + resampling (resident grids follow the lineage gather)
+    idx, pose, weight, weight_sum, nw, neff, do_resample = \
+        _weights_and_resample(opts, pset, key, states, liks)
+    maps = jax.tree.map(lambda a: a[idx], maps)
+    occ, vis, dist = occ[idx], vis[idx], dist[idx]
+
+    # 5. per-particle map update — elementwise on the resident grids
+    def upd(o, v, d, p):
+        o2, v2, d2, _ = mapping.resident_update(cfg, org, o, v, d, p,
+                                                points, mask, origin)
+        return o2, v2, d2
+
+    occ, vis, dist = jax.vmap(upd)(occ, vis, dist, pose)
+
+    new_set = ParticleSet(pose, weight, weight_sum, nw, maps,
+                          org, occ, vis, dist)
+    # escaped: particles whose updates were clipped by the window edge even
+    # after a re-org (diverged filter) — degraded, flagged, never fatal
+    escaped = jnp.sum(~mapping.resident_safe(cfg, org, geo.w2m(pose[:, :2])))
+    info = {"neff": neff, "resampled": do_resample, "reorged": ~safe,
+            "escaped": escaped, "overflow": jnp.max(maps.table.overflow)}
+    return new_set, info
+
+
 def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
                   origin):
     """First scan: build particle 0's map and share it (pf_slam2d.cpp:185-228
     COW-clones; functionally we just update all identical particles)."""
     cfg = opts.mapping_config()
+
+    if pset.res_org is not None:
+        # resident grids were default-initialized at the prior pose's org
+        def rupd(o, v, d, p):
+            o2, v2, d2, _ = mapping.resident_update(
+                cfg, pset.res_org, o, v, d, p, points, mask, origin)
+            return o2, v2, d2
+
+        occ, vis, dist = jax.vmap(rupd)(pset.res_occ, pset.res_vis,
+                                        pset.res_dist, pset.pose)
+        return pset._replace(res_occ=occ, res_vis=vis, res_dist=dist)
 
     def upd(m, p):
         new_m, _ = mapping.update_maps(m, cfg, p, points, mask, origin)
@@ -254,6 +372,7 @@ class PFSlam2D:
         self._last_info_dev = {}
         self._jit_motion = None
         self._jit_first = None
+        self._jit_flush_one = None
 
     def set_prior(self, prior: Pose2D) -> None:
         self.pose_prior = prior
@@ -346,15 +465,30 @@ class PFSlam2D:
         return Pose2D.from_se2_array(np.asarray(self.pset.pose[i]))
 
     def memory_usage(self) -> int:
+        """Allocated patch bytes. In resident mode this counts flushed pool
+        patches only (window content not yet flushed is excluded — it is a
+        fixed-size buffer, not per-patch storage)."""
         n_p = np.asarray(self.pset.maps.table.num_patches()).sum()
         length = self.options.patch_size
         return int(n_p) * length * length * (2 + 2 + 1 + 4)
 
     def particle_map(self, idx: Optional[int] = None) -> mapping.SlamMapState:
         """One particle's fused map (best particle by default) —
-        getOccupancyMap/getDistanceMap (pf_slam2d.h:211-225)."""
+        getOccupancyMap/getDistanceMap (pf_slam2d.h:211-225). In resident
+        mode the particle's window is flushed into a pool copy first."""
         i = self.best_particle_idx() if idx is None else idx
-        return jax.tree.map(lambda a: a[i], self.pset.maps)
+        m = jax.tree.map(lambda a: a[i], self.pset.maps)
+        if self.pset.res_org is not None:
+            if self._jit_flush_one is None:
+                cfg = self.options.mapping_config()
+                self._jit_flush_one = jax.jit(
+                    lambda st, org, o, v, d: mapping.resident_flush(
+                        st, cfg, org, o, v, d))
+            m = self._jit_flush_one(m, self.pset.res_org,
+                                    self.pset.res_occ[i],
+                                    self.pset.res_vis[i],
+                                    self.pset.res_dist[i])
+        return m
 
     def save_occ_image(self, path: str) -> None:
         """saveOccImage (pf_slam2d.cpp:341-346)."""

@@ -69,9 +69,15 @@ def _kernel(ly_ref, lx_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _scatter_batched(ly, lx, h: int, w: int, interpret: bool = False):
-    """f32[P, h, w] counts from int32[P, N] indices (invalid: ly >= h)."""
+    """f32[P, h, w] counts from int32[P, N] indices (invalid: ly >= h).
+
+    ``w`` is padded up to a lane multiple (128) for the kernel and sliced
+    back — extra columns are never indexed (lx < w) so they only cost MXU
+    cycles, not correctness.
+    """
     from jax.experimental import pallas as pl
 
+    wk = (w + 127) // 128 * 128
     p, n = ly.shape
     pad = (-n) % _MACRO
     if pad:
@@ -83,14 +89,15 @@ def _scatter_batched(ly, lx, h: int, w: int, interpret: bool = False):
     lx = lx.reshape(p, n_chunks, SUBS, CHUNK)
 
     idx = pl.BlockSpec((1, 1, SUBS, CHUNK), lambda pp, cc: (pp, cc, 0, 0))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(p, n_chunks),
         in_specs=[idx, idx],
-        out_specs=pl.BlockSpec((1, h, w), lambda pp, cc: (pp, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, h, w), jnp.float32),
+        out_specs=pl.BlockSpec((1, h, wk), lambda pp, cc: (pp, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, h, wk), jnp.float32),
         interpret=interpret,
     )(ly, lx)
+    return out[:, :, :w] if wk != w else out
 
 
 def _scatter_xla(ly, lx, h: int, w: int):
@@ -131,15 +138,16 @@ def scatter_counts_2d(ly, lx, h: int, w: int, impl: str | None = None):
     """int32[h, w] unit-count deposit; vmap-aware (batches the MXU kernel).
 
     ly/lx: int32[N] grid coordinates; invalid elements must hold ly >= h
-    (they contribute nothing). ``h`` must be a multiple of 8 and ``w`` of
-    128 for the TPU kernel (window grids are patch multiples).
+    (they contribute nothing). ``h`` must be a multiple of 8 for the TPU
+    kernel (window grids are patch multiples); ``w`` is padded to a lane
+    multiple internally.
 
     impl: "mxu" | "xla" | "interpret" (testing); default picks "mxu" on TPU
     backends and "xla" elsewhere.
     """
     if impl is None:
         impl = "mxu" if jax.default_backend() == "tpu" else "xla"
-    if impl != "xla" and (h % 8 or w % 128):
+    if impl != "xla" and h % 8:
         impl = "xla"
     out = _make(h, w, impl)(ly, lx)
     return out.astype(jnp.int32)

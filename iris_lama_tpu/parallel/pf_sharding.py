@@ -36,11 +36,16 @@ def particle_mesh(devices=None, axis: str = "p") -> Mesh:
 
 def shard_particles(pset: pf.ParticleSet, mesh: Mesh,
                     axis: str = "p") -> pf.ParticleSet:
-    """Place every particle-axis array on the mesh (leading dim sharded)."""
-    def put(a):
-        spec = P(axis) if a.ndim >= 1 else P()
+    """Place every particle-axis array on the mesh (leading dim sharded).
+
+    Arrays whose leading dim is not the particle axis (the shared resident
+    window origin) are replicated.
+    """
+    def put(path, a):
+        replicated = a.ndim < 1 or "res_org" in jax.tree_util.keystr(path)
+        spec = P() if replicated else P(axis)
         return jax.device_put(a, NamedSharding(mesh, spec))
-    return jax.tree.map(put, pset)
+    return jax.tree_util.tree_map_with_path(put, pset)
 
 
 def make_sharded_update(opts: pf.PFSlam2DOptions, mesh: Mesh,
@@ -55,8 +60,11 @@ def make_sharded_update(opts: pf.PFSlam2DOptions, mesh: Mesh,
     rspec = NamedSharding(mesh, P())
 
     def shardings_like(pset):
-        return jax.tree.map(
-            lambda a: pspec if a.ndim >= 1 else rspec, pset)
+        def spec(path, a):
+            if a.ndim < 1 or "res_org" in jax.tree_util.keystr(path):
+                return rspec
+            return pspec
+        return jax.tree_util.tree_map_with_path(spec, pset)
 
     def step(pset, key, points, mask, origin):
         return pf.pf_update_step(opts, pset, key, points, mask, origin)

@@ -109,6 +109,44 @@ class MappingConfig:
         # diagonal rays advance max-coordinate by ~range/res
         return int(math.ceil(reach * self.geometry.scale)) + 2
 
+    # --- resident sliding window (see ResidentWindow below) -----------------
+
+    @property
+    def resident_margin_cells(self) -> int:
+        """Safe-zone margin for a resident window, in cells.
+
+        An update anchored at pose cell ``p`` (window-local ``lp``) is exact
+        iff ``lp`` lies in ``[margin, W - margin)`` per axis:
+
+        * obstacle changes are confined to cells within
+          ``ceil(max_range*scale) + K`` of the *matched* pose, which is
+          within ``B = ceil(pose_slack*scale)`` cells of ``p``;
+        * distance changes reach at most ``R`` beyond obstacle changes and
+          must land in the EDT interior ``[R, W - R)``;
+        * interior EDT cells are always exact because every obstacle within
+          the cap radius ``R`` of an interior cell is inside the window.
+
+        Hence margin = ceil(max_range*scale) + 2R + K + B (K = 2 covers
+        w2m rounding and the bilinear +1 reads of the matcher).
+        """
+        geo = self.geometry
+        r = self.distance.radius_cells
+        b = int(math.ceil(self.pose_slack * geo.scale))
+        return int(math.ceil(self.max_range * geo.scale)) + 2 * r + 2 + b
+
+    @property
+    def resident_window_patches(self) -> int:
+        """Window side (patches) for the resident window: smallest size whose
+        safe zone still admits the anchor patch alignment plus half a patch
+        of pose wander before a re-org is forced."""
+        length = self.geometry.patch_length
+        need = 2 * (self.resident_margin_cells + length + length // 2 - 1)
+        return (need + length - 1) // length
+
+    @property
+    def resident_window_cells(self) -> int:
+        return self.resident_window_patches * self.geometry.patch_length
+
 
 class SlamMapState(NamedTuple):
     """Shared-table fused map (see module docstring).
@@ -186,25 +224,33 @@ def beam_geometry(cfg: MappingConfig, pose, points, mask,
     return ScanGeometry(start_xy, hit_xy, mark_hit, mask)
 
 
-def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
-                points, mask, origin, org_cell=None, window=None):
-    """Apply one scan to the map. Returns (new_state, info dict).
+class WindowScan(NamedTuple):
+    """Result of applying one scan to a dense window (shared by the
+    pool-backed :func:`update_maps` and the resident-window path)."""
 
-    ``org_cell``: optional precomputed window origin (reused from the scan
-    matcher so the matcher's gather and this writeback share one window).
-    ``window``: optional (slots, dist_grid) pair already gathered at
-    ``org_cell`` (the scan matcher's window) — skips one probe + one gather.
+    occ_new: jax.Array      # i32 counts | f32 log-odds [W, W]
+    vis_new: jax.Array      # i32[W, W]
+    dist_merged: jax.Array  # f32[W, W]
+    occ_add: jax.Array      # i32[W, W]
+    vis_add: jax.Array      # i32[W, W]
+    d2: jax.Array           # i32[W, W] fresh capped sqdist
+    interior: jax.Array     # bool[W, W] cells whose EDT is authoritative
+    n_cells: jax.Array      # i32[] processed-cell count
+
+
+def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
+                        org_cell, occ_w, vis_w, dist_old) -> WindowScan:
+    """Pure window math for one scan: raycast -> counts -> occupancy
+    end-state -> exact windowed EDT -> interior merge.
+
+    ``occ_w``/``vis_w``/``dist_old`` are dense [W, W] grids holding the
+    current map content at ``org_cell`` (W is read off the grids, so wider
+    resident windows work unchanged). No pool interaction happens here.
     """
     geo = cfg.geometry
-    length = geo.patch_length
-    wp = cfg.window_patches
-    w = cfg.window_cells
     dcfg = cfg.distance
     radius = dcfg.radius_cells
-
-    if org_cell is None:
-        org_cell = win_mod.window_org(geo, geo.w2m(pose[:2]), wp)
-    keys = win_mod.window_patch_keys(geo, org_cell, wp)
+    w = dist_old.shape[-1]
 
     # ---- beams -> cells ----------------------------------------------------
     g = beam_geometry(cfg, pose, points, mask, origin)
@@ -237,16 +283,6 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     vis_add = occ_add + scatter_counts(free_loc, free_ok)
 
     # ---- occupancy end-state + obstacle mask -------------------------------
-    # one table probe serves every window gather in this scan
-    if window is None:
-        slots = pool_mod.table_lookup(state.table, keys)
-        dist_old = None
-    else:
-        slots, dist_old = window
-    occ_w, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
-                                     slots=slots)
-    vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
-                                     slots=slots)
     vis_new = jnp.minimum(vis_w.astype(jnp.int32) + vis_add, 65535)
     if cfg.occ_model == "frequency":
         occ_new = jnp.minimum(occ_w.astype(jnp.int32) + occ_add, 65535)
@@ -268,21 +304,58 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
     dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
 
-    if dist_old is None:
-        dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                            dcfg.max_dist, slots=slots)
     yy = jnp.arange(w)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = ((yy >= radius) & (yy < w - radius) &
                 (xx >= radius) & (xx < w - radius))
     dist_merged = jnp.where(interior, dist_new, dist_old)
+    n_cells = jnp.sum(free_ok) + jnp.sum(hit_ok)
+    return WindowScan(occ_new, vis_new, dist_merged, occ_add, vis_add, d2,
+                      interior, n_cells)
 
+
+def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
+                points, mask, origin, org_cell=None, window=None):
+    """Apply one scan to the map. Returns (new_state, info dict).
+
+    ``org_cell``: optional precomputed window origin (reused from the scan
+    matcher so the matcher's gather and this writeback share one window).
+    ``window``: optional (slots, dist_grid) pair already gathered at
+    ``org_cell`` (the scan matcher's window) — skips one probe + one gather.
+    """
+    geo = cfg.geometry
+    length = geo.patch_length
+    wp = cfg.window_patches
+    dcfg = cfg.distance
+
+    if org_cell is None:
+        org_cell = win_mod.window_org(geo, geo.w2m(pose[:2]), wp)
+    keys = win_mod.window_patch_keys(geo, org_cell, wp)
+
+    # one table probe serves every window gather in this scan
+    if window is None:
+        slots = pool_mod.table_lookup(state.table, keys)
+        dist_old = None
+    else:
+        slots, dist_old = window
+    occ_w, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
+                                     slots=slots)
+    vis_w, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
+                                     slots=slots)
+    if dist_old is None:
+        dist_old, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                            dcfg.max_dist, slots=slots)
+
+    sc = scan_window_compute(cfg, pose, points, mask, origin, org_cell,
+                             occ_w, vis_w, dist_old)
+    occ_new, vis_new, dist_merged = sc.occ_new, sc.vis_new, sc.dist_merged
+    occ_add, vis_add, d2, interior = sc.occ_add, sc.vis_add, sc.d2, sc.interior
 
     if _DEBUG_NO_WRITEBACK:
         tot = (jnp.sum(dist_merged) + jnp.sum(occ_new).astype(jnp.float32)
                + jnp.sum(vis_new).astype(jnp.float32))
         dbg_state = state._replace(dist=state.dist.at[-1, 0, 0].add(tot))
-        info = {"processed_cells": jnp.sum(free_ok) + jnp.sum(hit_ok),
+        info = {"processed_cells": sc.n_cells,
                 "num_patches": state.table.num_patches(),
                 "overflow": state.table.overflow}
         return dbg_state, info
@@ -320,10 +393,12 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     # ---- transient map: prune patches outside the surface AABB -------------
     # (slam2d.cpp:323-373 / lidar_odometry_2d.cpp:131-182)
     if cfg.transient:
+        # identical pure recompute of the beam geometry — CSE'd by XLA
+        g = beam_geometry(cfg, pose, points, mask, origin)
         new_state = _prune_transient(new_state, cfg, pose, g)
 
     info = {
-        "processed_cells": jnp.sum(free_ok) + jnp.sum(hit_ok),
+        "processed_cells": sc.n_cells,
         "num_patches": new_state.table.num_patches(),
         "overflow": new_state.table.overflow,
     }
@@ -389,3 +464,101 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
 
     return jax.lax.cond(jnp.any(rm_keys >= 0), do_remove, lambda st: st,
                         state)
+
+
+# ---------------------------------------------------------------------------
+# Resident sliding window
+# ---------------------------------------------------------------------------
+# The per-update gather/alloc/writeback against the patch pool is pure
+# overhead while the robot stays inside one window. The resident mode keeps
+# the dense (occ, vis, dist) window grids as the PRIMARY map state: scans
+# update them elementwise (scan_window_compute), and the pool is only
+# touched when the pose leaves the safe zone — flush the window back
+# (allocating patches that gained content), re-center, regather. The window
+# is authoritative for every cell it covers; pool copies of those patches go
+# stale between re-orgs. This replaces the reference's per-cell allocate-on-
+# write Map::get (map.cpp:375-454) with an amortized bulk exchange.
+#
+# Exactness: identical to the per-update windowed path — the safe-zone
+# margin (resident_margin_cells) guarantees all obstacle/distance changes
+# land in the EDT interior, and interior recomputes only ever need obstacles
+# within the cap radius R, which are all in-window. The boundary ring is
+# never written between re-orgs and cannot change (changed obstacles stay
+# >= 2R away from the window edge).
+
+
+def resident_safe(cfg: MappingConfig, org, pose_cell):
+    """bool[...]: is an update anchored at ``pose_cell`` exact in the
+    resident window at ``org``? (callers reduce over particles)."""
+    m = cfg.resident_margin_cells
+    w = cfg.resident_window_cells
+    lp = jnp.asarray(pose_cell, jnp.int32) - org
+    return jnp.all((lp >= m) & (lp < w - m), axis=-1)
+
+
+def resident_org(cfg: MappingConfig, anchor_cell):
+    """Patch-aligned resident-window origin centered at ``anchor_cell``."""
+    return win_mod.window_org(cfg.geometry, anchor_cell,
+                              cfg.resident_window_patches)
+
+
+def resident_gather(state: SlamMapState, cfg: MappingConfig, org):
+    """Pull the resident grids (occ, vis, dist) from the pool at ``org``."""
+    wp = cfg.resident_window_patches
+    keys = win_mod.window_patch_keys(cfg.geometry, org, wp)
+    slots = pool_mod.table_lookup(state.table, keys)
+    occ, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
+                                   slots=slots)
+    vis, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
+                                   slots=slots)
+    dist, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                    cfg.distance.max_dist, slots=slots)
+    return occ, vis, dist
+
+
+def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
+                   occ, vis, dist) -> SlamMapState:
+    """Write the resident grids back into the pool.
+
+    Patches that gained content are allocated; patches already in the pool
+    are rewritten wholesale (the grids are authoritative, so no old-value
+    merge is needed); missing no-content patches are dropped.
+    """
+    geo = cfg.geometry
+    length = geo.patch_length
+    wp = cfg.resident_window_patches
+    keys = win_mod.window_patch_keys(geo, org, wp)
+    slots = pool_mod.table_lookup(state.table, keys)
+
+    if cfg.occ_model == "frequency":
+        has_occ = occ > 0
+    else:
+        has_occ = occ != 0.0
+    content = has_occ | (vis > 0) | (dist != jnp.float32(cfg.distance.max_dist))
+    content_patch = jnp.any(
+        content.reshape(wp, length, wp, length).transpose(0, 2, 1, 3),
+        axis=(2, 3))
+    need_new = jnp.logical_and(content_patch, slots < 0)
+    cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
+    table, new_slots = pool_mod.table_insert_unique(state.table, cand)
+    slots = jnp.where(need_new, new_slots.reshape(wp, wp), slots)
+
+    occupied = win_mod.scatter_window(state.occupied, slots,
+                                      occ.astype(state.occupied.dtype))
+    visited = win_mod.scatter_window(state.visited, slots,
+                                     vis.astype(OCC_DTYPE))
+    new_dist = win_mod.scatter_window(state.dist, slots, dist)
+    return SlamMapState(table, occupied, visited, new_dist)
+
+
+def resident_update(cfg: MappingConfig, org, occ, vis, dist, pose,
+                    points, mask, origin):
+    """Apply one scan to the resident grids (no pool interaction).
+
+    Returns (occ, vis, dist, processed_cells). Caller must have verified
+    :func:`resident_safe` (possibly re-orging first).
+    """
+    sc = scan_window_compute(cfg, pose, points, mask, origin, org,
+                             occ, vis, dist)
+    return (sc.occ_new.astype(occ.dtype), sc.vis_new.astype(vis.dtype),
+            sc.dist_merged, sc.n_cells)
