@@ -59,6 +59,12 @@ OCC_DTYPE = jnp.uint16   # reference cell: {uint16 occupied, uint16 visited}
 import os
 _DEBUG_NO_WRITEBACK = bool(int(os.environ.get("IRIS_DEBUG_NO_WRITEBACK",
                                               "0")))
+# Same idea, per stage of scan_window_compute (wrong results, real timing):
+# replace the stage with a cheap unfoldable stand-in that keeps the data
+# dependency, so a production bench run bounds that stage's in-situ cost.
+_DEBUG_NO_EDT = bool(int(os.environ.get("IRIS_DEBUG_NO_EDT", "0")))
+_DEBUG_NO_DEPOSIT = bool(int(os.environ.get("IRIS_DEBUG_NO_DEPOSIT", "0")))
+_DEBUG_NO_RAYCAST = bool(int(os.environ.get("IRIS_DEBUG_NO_RAYCAST", "0")))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,7 +262,18 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
     g = beam_geometry(cfg, pose, points, mask, origin)
     mhit = geo.w2m(g.hit_xy)                    # [B, 2]
     mstart = geo.w2m(g.start_xy)
-    free_cells, free_mask = ray_cells(mstart, mhit, cfg.ray_steps)
+    if _DEBUG_NO_RAYCAST:
+        # Cheap stand-in keeping shape [B, T, 2] and the mstart/mhit data
+        # dependency: every "ray cell" is the beam midpoint. Downstream
+        # deposit cost is value-independent (dense one-hot contraction),
+        # so this bounds only the ray closed-form's cost.
+        mid = (mstart + mhit) // 2                              # [B, 2]
+        free_cells = jnp.broadcast_to(mid[:, None, :],
+                                      (mid.shape[0], cfg.ray_steps, 2))
+        free_mask = jnp.broadcast_to((mstart[:, :1] != mhit[:, :1]),
+                                     (mid.shape[0], cfg.ray_steps))
+    else:
+        free_cells, free_mask = ray_cells(mstart, mhit, cfg.ray_steps)
     free_mask = jnp.logical_and(free_mask, g.valid[:, None])
 
     # window-local coords ([x, y] cell -> grid row y, col x)
@@ -277,6 +294,11 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
     def scatter_counts(loc, ok, impl=None):
         ly = jnp.where(ok, loc[..., 1], w).reshape(-1)
         lx = jnp.where(ok, loc[..., 0], w).reshape(-1)
+        if _DEBUG_NO_DEPOSIT:
+            # Stand-in: one reduction instead of the scatter/contraction.
+            # Keeps the (ly, lx) dependency; not constant-foldable.
+            tot = (jnp.sum(ly) + jnp.sum(lx)) % 3
+            return jnp.broadcast_to(tot, (w, w)).astype(jnp.int32)
         return scatter_matmul.scatter_counts_2d(ly, lx, w, w, impl=impl)
 
     occ_add = scatter_counts(hit_loc, hit_ok, impl="xla")
@@ -301,7 +323,13 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
         obst_new = occ_new > 0.0
 
     # ---- exact windowed EDT ------------------------------------------------
-    d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
+    if _DEBUG_NO_EDT:
+        # Stand-in: elementwise function of the obstacle mask (wrong values,
+        # same shape/dtype, keeps the dependency; subtraction of a 0/1 mask
+        # from a constant is not foldable).
+        d2 = jnp.int32(dcfg.max_sqdist) - obst_new.astype(jnp.int32)
+    else:
+        d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
     dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
 
     yy = jnp.arange(w)[:, None]
