@@ -153,6 +153,27 @@ class MappingConfig:
     def resident_window_cells(self) -> int:
         return self.resident_window_patches * self.geometry.patch_length
 
+    @property
+    def resident_update_cells(self) -> int:
+        """Side of the exact update sub-window inside a resident grid.
+
+        A scan update re-anchored at the particle's own pose cell (exact at
+        update time — unlike the shared window org there is no match-travel
+        slack and no patch alignment) touches: obstacle changes within
+        ``reach = ceil(max_range*scale) + K`` of the pose, distance changes
+        at most ``R`` beyond, and recomputing those needs obstacles another
+        ``R`` out. Half-width = reach + 2R; deposit/EDT/occupancy costs all
+        scale with window area, so running :func:`scan_window_compute` on
+        this sub-window instead of the full resident grid is pure savings.
+        Always <= resident_margin_cells (margin = half + pose_slack), so a
+        pose inside the safe zone keeps the sub-window in-bounds.
+        """
+        geo = self.geometry
+        half = (int(math.ceil(self.max_range * geo.scale)) + 2
+                + 2 * self.distance.radius_cells)
+        w = (2 * half + 7) // 8 * 8
+        return min(w, self.resident_window_cells)
+
 
 class SlamMapState(NamedTuple):
     """Shared-table fused map (see module docstring).
@@ -585,8 +606,35 @@ def resident_update(cfg: MappingConfig, org, occ, vis, dist, pose,
 
     Returns (occ, vis, dist, processed_cells). Caller must have verified
     :func:`resident_safe` (possibly re-orging first).
+
+    The scan math runs on the exact-update sub-window
+    (``cfg.resident_update_cells``, centered at the pose cell) when that is
+    smaller than the resident grid: a dynamic slice in, the same
+    :func:`scan_window_compute`, a dynamic slice back out. Cells outside
+    the sub-window cannot change (every deposit and every EDT-interior
+    change lands inside it by the half-width argument), so this is
+    bitwise-identical to full-window compute.
     """
-    sc = scan_window_compute(cfg, pose, points, mask, origin, org,
-                             occ, vis, dist)
-    return (sc.occ_new.astype(occ.dtype), sc.vis_new.astype(vis.dtype),
-            sc.dist_merged, sc.n_cells)
+    w = dist.shape[-1]
+    ws = cfg.resident_update_cells
+    if ws >= w:
+        sc = scan_window_compute(cfg, pose, points, mask, origin, org,
+                                 occ, vis, dist)
+        return (sc.occ_new.astype(occ.dtype), sc.vis_new.astype(vis.dtype),
+                sc.dist_merged, sc.n_cells)
+
+    geo = cfg.geometry
+    lp = geo.w2m(pose[:2]) - org                      # window-local [x, y]
+    start = jnp.clip(lp - ws // 2, 0, w - ws)         # [x, y]
+    sy, sx = start[1], start[0]
+    occ_s = jax.lax.dynamic_slice(occ, (sy, sx), (ws, ws))
+    vis_s = jax.lax.dynamic_slice(vis, (sy, sx), (ws, ws))
+    dist_s = jax.lax.dynamic_slice(dist, (sy, sx), (ws, ws))
+    sc = scan_window_compute(cfg, pose, points, mask, origin, org + start,
+                             occ_s, vis_s, dist_s)
+    return (jax.lax.dynamic_update_slice(occ, sc.occ_new.astype(occ.dtype),
+                                         (sy, sx)),
+            jax.lax.dynamic_update_slice(vis, sc.vis_new.astype(vis.dtype),
+                                         (sy, sx)),
+            jax.lax.dynamic_update_slice(dist, sc.dist_merged, (sy, sx)),
+            sc.n_cells)

@@ -24,16 +24,18 @@ def _data(rng, n, batch=None):
     return jnp.asarray(ly), jnp.asarray(lx)
 
 
-def test_interpret_matches_xla_single():
+@pytest.mark.parametrize("impl", ["interpret", "interpret_i8"])
+def test_interpret_matches_xla_single(impl):
     rng = np.random.default_rng(0)
     ly, lx = _data(rng, 5000)
     ref = sm.scatter_counts_2d(ly, lx, H, W, impl="xla")
-    out = sm.scatter_counts_2d(ly, lx, H, W, impl="interpret")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl=impl)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert out.dtype == jnp.int32
 
 
-def test_interpret_matches_xla_vmapped():
+@pytest.mark.parametrize("kimpl", ["interpret", "interpret_i8"])
+def test_interpret_matches_xla_vmapped(kimpl):
     rng = np.random.default_rng(1)
     ly, lx = _data(rng, 3000, batch=5)
 
@@ -41,7 +43,7 @@ def test_interpret_matches_xla_vmapped():
         return jax.vmap(
             lambda a, b: sm.scatter_counts_2d(a, b, H, W, impl=impl))(ly, lx)
 
-    np.testing.assert_array_equal(np.asarray(one("interpret")),
+    np.testing.assert_array_equal(np.asarray(one(kimpl)),
                                   np.asarray(one("xla")))
 
 
@@ -54,10 +56,11 @@ def test_pad_to_macro_chunk_is_neutral():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
-def test_counts_accumulate_duplicates():
+@pytest.mark.parametrize("impl", ["interpret", "interpret_i8"])
+def test_counts_accumulate_duplicates(impl):
     ly = jnp.asarray(np.full(4100, 3, np.int32))
     lx = jnp.asarray(np.full(4100, 7, np.int32))
-    out = sm.scatter_counts_2d(ly, lx, H, W, impl="interpret")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl=impl)
     assert int(out[3, 7]) == 4100
     assert int(jnp.sum(out)) == 4100
 
