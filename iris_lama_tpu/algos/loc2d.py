@@ -243,8 +243,10 @@ class Loc2D:
             grid, _ = win_mod.gather_window(maps.distance.table,
                                             maps.distance.dist, keys,
                                             max_dist)
-            eval_fn = match.make_window_eval(grid, org, geo, max_dist,
-                                             pts, msk)
+            # squared-distance domain: the IRLS row selections ride the
+            # s8/bf16 MXU (distance._interp_window_sq), bit-identical
+            eval_fn = match.make_window_eval(self.dcfg.dist_to_sq(grid),
+                                             org, geo, max_dist, pts, msk)
             res = nlls_solver.solve(eval_fn, match.update_state, pose0, sopts)
             cov = nlls_solver.covariance(eval_fn, sopts.robust, res.state)
             r, _ = eval_fn(res.state)

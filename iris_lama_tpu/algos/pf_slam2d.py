@@ -19,6 +19,7 @@ like Options::seed (pf_slam2d.h:174-176).
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import NamedTuple, Optional
 
@@ -35,6 +36,12 @@ from ..sdm import mapping, window as win_mod
 from ..sdm.geometry import MapGeometry
 from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
 from ..utils.summary import Summary
+
+# Stage-cost debug bounds (wrong results, real timing) — see the matching
+# IRIS_DEBUG_NO_* flags in sdm/mapping.py for the methodology.
+_DEBUG_NO_MATCH = bool(int(os.environ.get("IRIS_DEBUG_NO_MATCH", "0")))
+_DEBUG_NO_LINEAGE = bool(int(os.environ.get("IRIS_DEBUG_NO_LINEAGE", "0")))
+_DEBUG_NO_REORG = bool(int(os.environ.get("IRIS_DEBUG_NO_REORG", "0")))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +119,7 @@ class ParticleSet(NamedTuple):
     res_org: Optional[jax.Array] = None   # i32[2] shared window origin
     res_occ: Optional[jax.Array] = None   # u16[N, W, W]
     res_vis: Optional[jax.Array] = None   # u16[N, W, W]
-    res_dist: Optional[jax.Array] = None  # f32[N, W, W]
+    res_dist: Optional[jax.Array] = None  # sq_dtype[N, W, W] capped sqdist
 
 
 def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
@@ -131,7 +138,9 @@ def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
             res_org=mapping.resident_org(cfg, geo.w2m(prior[:2])),
             res_occ=jnp.zeros((n, w, w), mapping.OCC_DTYPE),
             res_vis=jnp.zeros((n, w, w), mapping.OCC_DTYPE),
-            res_dist=jnp.full((n, w, w), cfg.distance.max_dist, jnp.float32),
+            # squared-cell-distance domain (narrow ints; s8 MXU matcher path)
+            res_dist=jnp.full((n, w, w), cfg.distance.max_sqdist,
+                              cfg.sq_dtype),
         )
     return ParticleSet(
         pose=jnp.broadcast_to(prior_se2, (n, 4)).astype(jnp.float32),
@@ -282,27 +291,39 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
             lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
         return maps, new_org, occ, vis, dist
 
-    maps, org, occ, vis, dist = jax.lax.cond(
-        safe, lambda op: op, do_reorg,
-        (pset.maps, pset.res_org, pset.res_occ, pset.res_vis, pset.res_dist))
+    if _DEBUG_NO_REORG:
+        maps, org, occ, vis, dist = (pset.maps, pset.res_org, pset.res_occ,
+                                     pset.res_vis, pset.res_dist)
+    else:
+        maps, org, occ, vis, dist = jax.lax.cond(
+            safe, lambda op: op, do_reorg,
+            (pset.maps, pset.res_org, pset.res_occ, pset.res_vis,
+             pset.res_dist))
 
     # 2. per-particle scan match + likelihood on the resident distance grids
     def match_one(dist_i, pose0):
-        res = match.solve_window(dist_i, org, geo, max_dist, points[:, :2],
-                                 mask, pose0, sopts)
-        hits = lie.se2_apply(res.state, points[:, :2])
+        if _DEBUG_NO_MATCH:
+            # Stage-cost stand-in (see sdm/mapping.py): keep the dist-grid
+            # and pose dependency, skip the IRLS solve (wrong results).
+            res_state = pose0 + 1e-7 * jnp.sum(dist_i[:2, :4])
+        else:
+            res_state = match.solve_window(dist_i, org, geo, max_dist,
+                                           points[:, :2], mask, pose0,
+                                           sopts).state
+        hits = lie.se2_apply(res_state, points[:, :2])
         from ..sdm.distance import interp_window
         d, _ = interp_window(dist_i, org, geo, hits, max_dist)
         d = d * mask.astype(jnp.float32)
-        return res.state, jnp.sum(-(d * d) / opts.meas_sigma)
+        return res_state, jnp.sum(-(d * d) / opts.meas_sigma)
 
     states, liks = jax.vmap(match_one)(dist, pset.pose)
 
     # 3-4. weights + resampling (resident grids follow the lineage gather)
     idx, pose, weight, weight_sum, nw, neff, do_resample = \
         _weights_and_resample(opts, pset, key, states, liks)
-    maps = jax.tree.map(lambda a: a[idx], maps)
-    occ, vis, dist = occ[idx], vis[idx], dist[idx]
+    if not _DEBUG_NO_LINEAGE:
+        maps = jax.tree.map(lambda a: a[idx], maps)
+        occ, vis, dist = occ[idx], vis[idx], dist[idx]
 
     # 5. per-particle map update — elementwise on the resident grids
     def upd(o, v, d, p):

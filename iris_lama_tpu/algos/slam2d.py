@@ -100,7 +100,10 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
         keys = win_mod.window_patch_keys(geo, org, wp)
         grid, slots = win_mod.gather_window(state.table, state.dist, keys,
                                             max_dist)
-        res = match.solve_window(grid, org, geo, max_dist,
+        # one elementwise pass converts the f32 window to the squared-cell-
+        # distance domain; the IRLS row selections then ride the s8/bf16 MXU
+        # (distance._interp_window_sq) instead of f32 dots — bit-identical
+        res = match.solve_window(cfg.dist_to_sq(grid), org, geo, max_dist,
                                  points[:, :2], mask, pose0, sopts)
         new_state, info = mapping.update_maps(state, cfg, res.state, points,
                                               mask, origin, org,

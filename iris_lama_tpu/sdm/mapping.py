@@ -154,6 +154,16 @@ class MappingConfig:
         return self.resident_window_patches * self.geometry.patch_length
 
     @property
+    def sq_dtype(self):
+        return self.distance.sq_dtype
+
+    def dist_to_sq(self, dist):
+        return self.distance.dist_to_sq(dist)
+
+    def sq_to_dist(self, d2):
+        return self.distance.sq_to_dist(d2)
+
+    @property
     def resident_update_cells(self) -> int:
         """Side of the exact update sub-window inside a resident grid.
 
@@ -273,7 +283,13 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
     ``occ_w``/``vis_w``/``dist_old`` are dense [W, W] grids holding the
     current map content at ``org_cell`` (W is read off the grids, so wider
     resident windows work unchanged). No pool interaction happens here.
+
+    ``dist_old`` may be f32 meters (pool-backed path) or an integer capped
+    squared-distance grid (resident path, cfg.sq_dtype) — the returned
+    ``dist_merged`` stays in the same domain; all other fields are
+    domain-independent.
     """
+    sq_domain = jnp.issubdtype(jnp.asarray(dist_old).dtype, jnp.integer)
     geo = cfg.geometry
     dcfg = cfg.distance
     radius = dcfg.radius_cells
@@ -351,13 +367,18 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
         d2 = jnp.int32(dcfg.max_sqdist) - obst_new.astype(jnp.int32)
     else:
         d2 = edt2d(obst_new, dcfg.max_sqdist, radius)
-    dist_new = jnp.sqrt(d2.astype(jnp.float32)) * jnp.float32(geo.resolution)
 
     yy = jnp.arange(w)[:, None]
     xx = jnp.arange(w)[None, :]
     interior = ((yy >= radius) & (yy < w - radius) &
                 (xx >= radius) & (xx < w - radius))
-    dist_merged = jnp.where(interior, dist_new, dist_old)
+    if sq_domain:
+        dist_merged = jnp.where(interior, d2.astype(dist_old.dtype),
+                                dist_old)
+    else:
+        dist_new = (jnp.sqrt(d2.astype(jnp.float32))
+                    * jnp.float32(geo.resolution))
+        dist_merged = jnp.where(interior, dist_new, dist_old)
     n_cells = jnp.sum(free_ok) + jnp.sum(hit_ok)
     return WindowScan(occ_new, vis_new, dist_merged, occ_add, vis_add, d2,
                       interior, n_cells)
@@ -552,7 +573,13 @@ def resident_org(cfg: MappingConfig, anchor_cell):
 
 
 def resident_gather(state: SlamMapState, cfg: MappingConfig, org):
-    """Pull the resident grids (occ, vis, dist) from the pool at ``org``."""
+    """Pull the resident grids (occ, vis, dist) from the pool at ``org``.
+
+    The distance grid converts to the capped squared-cell-distance domain
+    (cfg.sq_dtype) — narrow integers that ride the s8 MXU in the matcher's
+    row selection and cut resident HBM traffic 4x. Exact both ways
+    (cfg.dist_to_sq docstring).
+    """
     wp = cfg.resident_window_patches
     keys = win_mod.window_patch_keys(cfg.geometry, org, wp)
     slots = pool_mod.table_lookup(state.table, keys)
@@ -562,7 +589,7 @@ def resident_gather(state: SlamMapState, cfg: MappingConfig, org):
                                    slots=slots)
     dist, _ = win_mod.gather_window(state.table, state.dist, keys,
                                     cfg.distance.max_dist, slots=slots)
-    return occ, vis, dist
+    return occ, vis, cfg.dist_to_sq(dist)
 
 
 def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
@@ -579,11 +606,16 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
     keys = win_mod.window_patch_keys(geo, org, wp)
     slots = pool_mod.table_lookup(state.table, keys)
 
+    if jnp.issubdtype(dist.dtype, jnp.integer):   # squared-distance domain
+        has_dist = dist != dist.dtype.type(cfg.distance.max_sqdist)
+        dist = cfg.sq_to_dist(dist)
+    else:
+        has_dist = dist != jnp.float32(cfg.distance.max_dist)
     if cfg.occ_model == "frequency":
         has_occ = occ > 0
     else:
         has_occ = occ != 0.0
-    content = has_occ | (vis > 0) | (dist != jnp.float32(cfg.distance.max_dist))
+    content = has_occ | (vis > 0) | has_dist
     content_patch = jnp.any(
         content.reshape(wp, length, wp, length).transpose(0, 2, 1, 3),
         axis=(2, 3))
