@@ -120,6 +120,11 @@ class ParticleSet(NamedTuple):
     res_occ: Optional[jax.Array] = None   # u16[N, W, W]
     res_vis: Optional[jax.Array] = None   # u16[N, W, W]
     res_dist: Optional[jax.Array] = None  # sq_dtype[N, W, W] capped sqdist
+    # Deferred lineage: pool maps are stale between re-orgs (the resident
+    # grids are authoritative), so resampling composes this permutation
+    # instead of gathering the big pool arrays every update; the gather by
+    # ``lineage`` happens once per re-org/flush. i32[N]; resident mode only.
+    lineage: Optional[jax.Array] = None
 
 
 def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
@@ -141,6 +146,7 @@ def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
             # squared-cell-distance domain (narrow ints; s8 MXU matcher path)
             res_dist=jnp.full((n, w, w), cfg.distance.max_sqdist,
                               cfg.sq_dtype),
+            lineage=jnp.arange(n, dtype=jnp.int32),
         )
     return ParticleSet(
         pose=jnp.broadcast_to(prior_se2, (n, 4)).astype(jnp.float32),
@@ -280,7 +286,10 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     safe = jnp.all(mapping.resident_safe(cfg, pset.res_org, p0cell))
 
     def do_reorg(op):
-        maps, org, occ, vis, dist = op
+        maps, org, occ, vis, dist, lineage = op
+        # settle the deferred lineage first: the pool copies are stale
+        # per-slot, so pick each surviving particle's ancestral pool
+        maps = jax.tree.map(lambda a: a[lineage], maps)
         maps = jax.vmap(
             lambda m, o, v, d: mapping.resident_flush(m, cfg, org, o, v, d)
         )(maps, occ, vis, dist)
@@ -289,40 +298,56 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
         new_org = mapping.resident_org(cfg, anchor)
         occ, vis, dist = jax.vmap(
             lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
-        return maps, new_org, occ, vis, dist
+        return (maps, new_org, occ, vis, dist,
+                jnp.arange(lineage.shape[0], dtype=jnp.int32))
 
     if _DEBUG_NO_REORG:
-        maps, org, occ, vis, dist = (pset.maps, pset.res_org, pset.res_occ,
-                                     pset.res_vis, pset.res_dist)
+        maps, org, occ, vis, dist, lineage = (
+            pset.maps, pset.res_org, pset.res_occ, pset.res_vis,
+            pset.res_dist, pset.lineage)
     else:
-        maps, org, occ, vis, dist = jax.lax.cond(
+        maps, org, occ, vis, dist, lineage = jax.lax.cond(
             safe, lambda op: op, do_reorg,
             (pset.maps, pset.res_org, pset.res_occ, pset.res_vis,
-             pset.res_dist))
+             pset.res_dist, pset.lineage))
 
     # 2. per-particle scan match + likelihood on the resident distance grids
+    # (on a pose-centered sub-window when that is smaller — the matcher
+    # only probes within reach + pose_slack of the prediction)
+    w_res = cfg.resident_window_cells
+    ws_m = cfg.match_window_cells
+
     def match_one(dist_i, pose0):
+        m_org = org
+        if ws_m < w_res:
+            lp = geo.w2m(pose0[:2]) - org
+            start = jnp.clip(lp - ws_m // 2, 0, w_res - ws_m)
+            dist_i = jax.lax.dynamic_slice(dist_i, (start[1], start[0]),
+                                           (ws_m, ws_m))
+            m_org = org + start
         if _DEBUG_NO_MATCH:
             # Stage-cost stand-in (see sdm/mapping.py): keep the dist-grid
             # and pose dependency, skip the IRLS solve (wrong results).
             res_state = pose0 + 1e-7 * jnp.sum(dist_i[:2, :4])
+            res_iters = jnp.int32(0)
         else:
-            res_state = match.solve_window(dist_i, org, geo, max_dist,
-                                           points[:, :2], mask, pose0,
-                                           sopts).state
+            res = match.solve_window(dist_i, m_org, geo, max_dist,
+                                     points[:, :2], mask, pose0, sopts)
+            res_state, res_iters = res.state, res.iterations
         hits = lie.se2_apply(res_state, points[:, :2])
         from ..sdm.distance import interp_window
-        d, _ = interp_window(dist_i, org, geo, hits, max_dist)
+        d, _ = interp_window(dist_i, m_org, geo, hits, max_dist)
         d = d * mask.astype(jnp.float32)
-        return res_state, jnp.sum(-(d * d) / opts.meas_sigma)
+        return res_state, jnp.sum(-(d * d) / opts.meas_sigma), res_iters
 
-    states, liks = jax.vmap(match_one)(dist, pset.pose)
+    states, liks, match_iters = jax.vmap(match_one)(dist, pset.pose)
 
     # 3-4. weights + resampling (resident grids follow the lineage gather)
     idx, pose, weight, weight_sum, nw, neff, do_resample = \
         _weights_and_resample(opts, pset, key, states, liks)
     if not _DEBUG_NO_LINEAGE:
-        maps = jax.tree.map(lambda a: a[idx], maps)
+        # pool maps: defer — compose the permutation (settled at re-org)
+        lineage = lineage[idx]
         occ, vis, dist = occ[idx], vis[idx], dist[idx]
 
     # 5. per-particle map update — elementwise on the resident grids
@@ -334,12 +359,14 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     occ, vis, dist = jax.vmap(upd)(occ, vis, dist, pose)
 
     new_set = ParticleSet(pose, weight, weight_sum, nw, maps,
-                          org, occ, vis, dist)
+                          org, occ, vis, dist, lineage)
     # escaped: particles whose updates were clipped by the window edge even
     # after a re-org (diverged filter) — degraded, flagged, never fatal
     escaped = jnp.sum(~mapping.resident_safe(cfg, org, geo.w2m(pose[:, :2])))
     info = {"neff": neff, "resampled": do_resample, "reorged": ~safe,
-            "escaped": escaped, "overflow": jnp.max(maps.table.overflow)}
+            "escaped": escaped, "overflow": jnp.max(maps.table.overflow),
+            "match_iters_max": jnp.max(match_iters),
+            "match_iters_mean": jnp.mean(match_iters.astype(jnp.float32))}
     return new_set, info
 
 
@@ -498,7 +525,10 @@ class PFSlam2D:
         getOccupancyMap/getDistanceMap (pf_slam2d.h:211-225). In resident
         mode the particle's window is flushed into a pool copy first."""
         i = self.best_particle_idx() if idx is None else idx
-        m = jax.tree.map(lambda a: a[i], self.pset.maps)
+        pool_i = i
+        if self.pset.lineage is not None:
+            pool_i = int(self.pset.lineage[i])   # deferred pool lineage
+        m = jax.tree.map(lambda a: a[pool_i], self.pset.maps)
         if self.pset.res_org is not None:
             if self._jit_flush_one is None:
                 cfg = self.options.mapping_config()

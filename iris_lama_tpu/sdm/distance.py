@@ -241,12 +241,18 @@ def _interp_window_sq(grid, org_cell, geo: MapGeometry, world_xy, max_dist):
 
     if grid.dtype == jnp.int8:
         oh_dtype, acc_dtype, g = jnp.int8, jnp.int32, grid
+        # selected rows fit back in s8 (values <= max_sqdist <= 127): the
+        # cast fuses into the dot epilogue, quartering the [.., B, W]
+        # intermediate traffic the column reductions then re-read
+        row_dtype = jnp.int8
     elif grid.dtype == jnp.uint8:
         oh_dtype, acc_dtype, g = (jnp.bfloat16, jnp.float32,
                                   grid.astype(jnp.bfloat16))
+        row_dtype = jnp.float32
     else:
         oh_dtype, acc_dtype, g = (jnp.float32, jnp.float32,
                                   grid.astype(jnp.float32))
+        row_dtype = jnp.float32
 
     rows = jnp.arange(h, dtype=jnp.int32)
     cols = jnp.arange(w, dtype=jnp.int32)
@@ -254,23 +260,32 @@ def _interp_window_sq(grid, org_cell, geo: MapGeometry, world_xy, max_dist):
     oh1 = (jnp.clip(ly + 1, 0, h - 1)[..., None] == rows).astype(oh_dtype)
     r0 = jax.lax.dot_general(oh0, g, (((oh0.ndim - 1,), (0,)), ((), ())),
                              preferred_element_type=acc_dtype
-                             ).astype(jnp.float32)
+                             ).astype(row_dtype)
     r1 = jax.lax.dot_general(oh1, g, (((oh1.ndim - 1,), (0,)), ((), ())),
                              preferred_element_type=acc_dtype
-                             ).astype(jnp.float32)
-    c0 = (jnp.clip(lx, 0, w - 1)[..., None] == cols).astype(jnp.float32)
-    c1 = (jnp.clip(lx + 1, 0, w - 1)[..., None] == cols).astype(jnp.float32)
+                             ).astype(row_dtype)
+    c0m = jnp.clip(lx, 0, w - 1)[..., None] == cols
+    c1m = jnp.clip(lx + 1, 0, w - 1)[..., None] == cols
     md = jnp.float32(max_dist)
     res = jnp.float32(geo.resolution)
 
-    def corner(r, c, ok):
-        d = jnp.sqrt(jnp.sum(r * c, axis=-1)) * res
+    if row_dtype == jnp.int8:
+        def csum(r, m):
+            z = jnp.where(m, r, jnp.int8(0)).astype(jnp.int32)
+            return jnp.sum(z, axis=-1).astype(jnp.float32)
+    else:
+        def csum(r, m):
+            return jnp.sum(jnp.where(m, r, row_dtype(0)), axis=-1
+                           ).astype(jnp.float32)
+
+    def corner(r, m, ok):
+        d = jnp.sqrt(csum(r, m)) * res
         return jnp.where(ok, d, md)
 
-    v00 = corner(r0, c0, inx(lx) & iny(ly))
-    v10 = corner(r0, c1, inx(lx + 1) & iny(ly))
-    v01 = corner(r1, c0, inx(lx) & iny(ly + 1))
-    v11 = corner(r1, c1, inx(lx + 1) & iny(ly + 1))
+    v00 = corner(r0, c0m, inx(lx) & iny(ly))
+    v10 = corner(r0, c1m, inx(lx + 1) & iny(ly))
+    v01 = corner(r1, c0m, inx(lx) & iny(ly + 1))
+    v11 = corner(r1, c1m, inx(lx + 1) & iny(ly + 1))
     return _bilinear(v00, v10, v01, v11, mu, jnp.float32(geo.scale))
 
 

@@ -164,6 +164,21 @@ class MappingConfig:
         return self.distance.sq_to_dist(d2)
 
     @property
+    def match_window_cells(self) -> int:
+        """Side of the scan-match sub-window inside a resident grid.
+
+        The IRLS matcher anchored at the predicted pose probes hit points
+        within ``reach`` of poses that wander at most ``pose_slack`` from
+        the prediction (the same contract window_patches uses for the
+        legacy pool-backed match window): half-width = reach + slack + 3
+        (w2m rounding + the bilinear +1 neighbor).
+        """
+        geo = self.geometry
+        half = (int(math.ceil(self.max_range * geo.scale))
+                + int(math.ceil(self.pose_slack * geo.scale)) + 3)
+        return min((2 * half + 7) // 8 * 8, self.resident_window_cells)
+
+    @property
     def resident_update_cells(self) -> int:
         """Side of the exact update sub-window inside a resident grid.
 
@@ -328,7 +343,7 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
     # ---- scatter counts into the dense window ------------------------------
     # Free-space counts (~150k elements) ride the MXU one-hot contraction
     # (ops/scatter_matmul.py); the ~B hit endpoints stay on XLA's scatter.
-    def scatter_counts(loc, ok, impl=None):
+    def scatter_counts(loc, ok, impl=None, band=0):
         ly = jnp.where(ok, loc[..., 1], w).reshape(-1)
         lx = jnp.where(ok, loc[..., 0], w).reshape(-1)
         if _DEBUG_NO_DEPOSIT:
@@ -336,10 +351,15 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
             # Keeps the (ly, lx) dependency; not constant-foldable.
             tot = (jnp.sum(ly) + jnp.sum(lx)) % 3
             return jnp.broadcast_to(tot, (w, w)).astype(jnp.int32)
-        return scatter_matmul.scatter_counts_2d(ly, lx, w, w, impl=impl)
+        return scatter_matmul.scatter_counts_2d(ly, lx, w, w, impl=impl,
+                                                band=band)
 
     occ_add = scatter_counts(hit_loc, hit_ok, impl="xla")
-    vis_add = occ_add + scatter_counts(free_loc, free_ok)
+    # free cells are beam-major and beams are angle-ordered, so any one
+    # 4096-element chunk is a narrow sector whose row extent is bounded by
+    # the ray reach — the banded kernel's precondition (scatter_matmul)
+    vis_add = occ_add + scatter_counts(free_loc, free_ok,
+                                       band=cfg.ray_steps + 8)
 
     # ---- occupancy end-state + obstacle mask -------------------------------
     vis_new = jnp.minimum(vis_w.astype(jnp.int32) + vis_add, 65535)

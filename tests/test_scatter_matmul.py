@@ -80,3 +80,42 @@ def test_default_impl_on_cpu_is_xla():
     lx = jnp.zeros(10, jnp.int32)
     out = sm.scatter_counts_2d(ly, lx, H, W)
     assert int(out[0, 0]) == 10
+
+@pytest.mark.parametrize("impl", ["interpret", "interpret_i8"])
+def test_banded_matches_xla_sector_ordered(impl):
+    # beam-major layout with angular locality: per-chunk row extent small
+    rng = np.random.default_rng(4)
+    b, t = 40, 128  # 5120 elements -> 2 macro chunks
+    ang = np.linspace(0, np.pi / 3, b)
+    rad = rng.uniform(0, 50, (b, t))
+    ly = (32 + rad * np.sin(ang)[:, None]).astype(np.int32).reshape(-1)
+    lx = (rad * np.cos(ang)[:, None]).astype(np.int32).reshape(-1)
+    inv = rng.uniform(size=ly.shape) < 0.2
+    ly = np.where(inv, H, ly)
+    ly, lx = jnp.asarray(ly), jnp.asarray(lx)
+    ref = sm.scatter_counts_2d(ly, lx, H, W, impl="xla")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl=impl, band=56)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("impl", ["interpret", "interpret_i8"])
+def test_banded_out_of_band_fallback_exact(impl):
+    # adversarial: rows span the full grid inside one chunk -> the banded
+    # kernel must route out-of-band elements through the XLA fix-up
+    rng = np.random.default_rng(5)
+    ly, lx = _data(rng, 5000)
+    ref = sm.scatter_counts_2d(ly, lx, H, W, impl="xla")
+    out = sm.scatter_counts_2d(ly, lx, H, W, impl=impl, band=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_banded_vmapped_matches_xla():
+    rng = np.random.default_rng(6)
+    ly, lx = _data(rng, 3000, batch=4)
+
+    def one(impl, band=0):
+        return jax.vmap(lambda a, b: sm.scatter_counts_2d(
+            a, b, H, W, impl=impl, band=band))(ly, lx)
+
+    np.testing.assert_array_equal(np.asarray(one("interpret_i8", band=24)),
+                                  np.asarray(one("xla")))
