@@ -38,6 +38,11 @@ import jax.numpy as jnp
 _DEFAULT_I8 = bool(int(os.environ.get("IRIS_DEPOSIT_I8", "1")))
 # kill-switch for the banded kernel (A/B; band requests become full-height)
 _BAND_ENABLED = bool(int(os.environ.get("IRIS_DEPOSIT_BAND", "1")))
+# route unbatched (P=1) deposits through the MXU kernel instead of XLA's
+# scatter. Default ON: the banded s8 kernel beats XLA's serialized scatter
+# even at P=1 (slam2d 237-314 -> 437-491 scans/s, interleaved A/B; the
+# earlier "ties at P=1" finding was the full-height bf16 kernel).
+_P1_MXU = bool(int(os.environ.get("IRIS_P1_MXU", "1")))
 
 # Elements per one-hot operand tile. 512 keeps each (W, CHUNK) bf16 operand
 # at 512 KB and the contraction MXU-shaped; 8 sub-chunks amortize grid-step
@@ -207,15 +212,16 @@ def _make(h: int, w: int, impl: str, band: int = 0):
     interpret = impl.startswith("interpret")
     int8 = impl.endswith("_i8")
 
-    # Unbatched calls keep XLA's scatter: at P=1 the MXU kernel only ties it
-    # (measured in-situ on slam2d), and XLA fuses the scatter with its
-    # neighbors. The batched (vmapped) case is where the contraction wins
-    # big — 30-particle map updates went 82.5 -> 41.3 ms.
+    # Unbatched calls keep XLA's scatter by default: at P=1 the bf16 MXU
+    # kernel only tied it (measured in-situ on slam2d), and XLA fuses the
+    # scatter with its neighbors. The batched (vmapped) case is where the
+    # contraction wins big — 30-particle map updates went 82.5 -> 41.3 ms.
+    # IRIS_P1_MXU=1 routes P=1 through the (now banded s8) kernel for A/B.
     @jax.custom_batching.custom_vmap
     def scatter(ly, lx):
-        if interpret:
-            return _scatter_batched(ly[None], lx[None], h, w, True, int8,
-                                    band)[0]
+        if interpret or (_P1_MXU and band):
+            return _scatter_batched(ly[None], lx[None], h, w, interpret,
+                                    int8, band)[0]
         return _scatter_xla(ly, lx, h, w).astype(jnp.float32)
 
     @scatter.def_vmap
