@@ -239,53 +239,22 @@ def _interp_window_sq(grid, org_cell, geo: MapGeometry, world_xy, max_dist):
     def iny(v):
         return (v >= 0) & (v < h)
 
-    if grid.dtype == jnp.int8:
-        oh_dtype, acc_dtype, g = jnp.int8, jnp.int32, grid
-        # selected rows fit back in s8 (values <= max_sqdist <= 127): the
-        # cast fuses into the dot epilogue, quartering the [.., B, W]
-        # intermediate traffic the column reductions then re-read
-        row_dtype = jnp.int8
-    elif grid.dtype == jnp.uint8:
-        oh_dtype, acc_dtype, g = (jnp.bfloat16, jnp.float32,
-                                  grid.astype(jnp.bfloat16))
-        row_dtype = jnp.float32
-    else:
-        oh_dtype, acc_dtype, g = (jnp.float32, jnp.float32,
-                                  grid.astype(jnp.float32))
-        row_dtype = jnp.float32
-
-    rows = jnp.arange(h, dtype=jnp.int32)
-    cols = jnp.arange(w, dtype=jnp.int32)
-    oh0 = (jnp.clip(ly, 0, h - 1)[..., None] == rows).astype(oh_dtype)
-    oh1 = (jnp.clip(ly + 1, 0, h - 1)[..., None] == rows).astype(oh_dtype)
-    r0 = jax.lax.dot_general(oh0, g, (((oh0.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=acc_dtype
-                             ).astype(row_dtype)
-    r1 = jax.lax.dot_general(oh1, g, (((oh1.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=acc_dtype
-                             ).astype(row_dtype)
-    c0m = jnp.clip(lx, 0, w - 1)[..., None] == cols
-    c1m = jnp.clip(lx + 1, 0, w - 1)[..., None] == cols
+    # the 4-corner integer selection is one fused op (ops/select4.py): a
+    # VMEM-resident s8 one-hot contraction on TPU, the equivalent jnp
+    # one-hot math elsewhere — exact either way
+    from ..ops import select4
+    v = select4.select4_sq(grid, ly, lx)             # i32[4, B]
     md = jnp.float32(max_dist)
     res = jnp.float32(geo.resolution)
 
-    if row_dtype == jnp.int8:
-        def csum(r, m):
-            z = jnp.where(m, r, jnp.int8(0)).astype(jnp.int32)
-            return jnp.sum(z, axis=-1).astype(jnp.float32)
-    else:
-        def csum(r, m):
-            return jnp.sum(jnp.where(m, r, row_dtype(0)), axis=-1
-                           ).astype(jnp.float32)
+    def corner(s, ok):
+        # identical arithmetic to the f32 grids' sqrt(d2)*res construction
+        return jnp.where(ok, jnp.sqrt(s.astype(jnp.float32)) * res, md)
 
-    def corner(r, m, ok):
-        d = jnp.sqrt(csum(r, m)) * res
-        return jnp.where(ok, d, md)
-
-    v00 = corner(r0, c0m, inx(lx) & iny(ly))
-    v10 = corner(r0, c1m, inx(lx + 1) & iny(ly))
-    v01 = corner(r1, c0m, inx(lx) & iny(ly + 1))
-    v11 = corner(r1, c1m, inx(lx + 1) & iny(ly + 1))
+    v00 = corner(v[0], inx(lx) & iny(ly))
+    v10 = corner(v[1], inx(lx + 1) & iny(ly))
+    v01 = corner(v[2], inx(lx) & iny(ly + 1))
+    v11 = corner(v[3], inx(lx + 1) & iny(ly + 1))
     return _bilinear(v00, v10, v01, v11, mu, jnp.float32(geo.scale))
 
 
