@@ -12,9 +12,11 @@ source is either a dense pose-centered window (hot path) or the patch pool
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..ops import match_eval
 from ..sdm import distance as dist_mod
 from ..sdm.geometry import MapGeometry
 from ..nlls import solver as nlls_solver
@@ -80,9 +82,83 @@ def rmse_cells(table, dist, geo: MapGeometry, max_dist, points_xy, mask,
 
 def solve_window(grid, org_cell, geo, max_dist, points_xy, mask,
                  state0, opts) -> nlls_solver.SolveResult:
-    """Scan-match against a dense window (Slam2D/PFSlam2D hot path)."""
+    """Scan-match against a dense window (Slam2D/PFSlam2D hot path).
+
+    On TPU, GN solves against s8 squared-distance windows use the fused
+    evaluation kernel (ops/match_eval.py): one launch per evaluation
+    instead of ~25 elementwise/reduction ops. Identical formulas; the CPU
+    path keeps the generic IRLS solver (the oracle for tests).
+    """
+    if (opts.strategy == "gn" and grid.dtype == jnp.int8
+            and opts.robust.kind in ("cauchy", "unit")
+            and match_eval.ENABLED and jax.default_backend() == "tpu"):
+        return _solve_window_fused(grid, org_cell, geo, max_dist,
+                                   points_xy, mask, state0, opts)
     eval_fn = make_window_eval(grid, org_cell, geo, max_dist, points_xy, mask)
     return nlls_solver.solve(eval_fn, update_state, state0, opts)
+
+
+def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
+                        state0, opts) -> nlls_solver.SolveResult:
+    """GN IRLS consuming fused normal-equation sums.
+
+    Control flow mirrors nlls_solver.solve's GN branch statement for
+    statement (solver.cpp:53-118 / gauss_newton.cpp:53-91): eval + weight,
+    eps1/eps2 stops with the converged-before-step shortcut, chi2-decrease
+    validity, invalid => stop without applying; ``iterations``/``chi2``
+    carry the same values. r/J are not materialized (no caller uses them).
+    """
+    cauchy_c = opts.robust.param if opts.robust.kind == "cauchy" else 0.0
+    fm = mask.astype(jnp.float32)
+
+    def sums_at(state):
+        hits = lie.se2_apply(state, points_xy)
+        mi, mu = geo.w2m_frac(hits)
+        loc = mi - jnp.asarray(org_cell, jnp.int32)
+        return match_eval.gn_eval_sq(
+            grid, loc[..., 1], loc[..., 0], mu[..., 0], mu[..., 1],
+            hits[..., 0], hits[..., 1], fm,
+            max_dist=max_dist, res=geo.resolution, scale=geo.scale,
+            cauchy_c=cauchy_c)
+
+    s0 = sums_at(state0)
+
+    def cond(c):
+        state, chi2, stop, it = c
+        return jnp.logical_and(~stop, it < opts.max_iterations)
+
+    def body(c):
+        state, _, _, it = c
+        s = sums_at(state)
+        A = jnp.stack([jnp.stack([s[0], s[1], s[2]]),
+                       jnp.stack([s[1], s[3], s[4]]),
+                       jnp.stack([s[2], s[4], s[5]])])
+        g = jnp.stack([s[6], s[7], s[8]])
+        chi2 = s[9]
+        stop_g = jnp.max(jnp.abs(g)) < opts.eps1
+        h = nlls_solver._solve3(A, g)
+        h = jnp.where(stop_g, jnp.zeros_like(h), h)
+        stop_h = jnp.max(jnp.abs(h)) < opts.eps2
+        stop_now = jnp.logical_or(stop_g, stop_h)
+
+        def converged(_):
+            return (state, chi2, jnp.bool_(True), it)
+
+        def take_step(_):
+            new_state = update_state(state, h)
+            new_chi2 = sums_at(new_state)[9]
+            ok = (chi2 - new_chi2) > 0.0
+            st = jnp.where(ok, new_state, state)
+            return (st, chi2, ~ok, it + 1)
+
+        return jax.lax.cond(stop_now, converged, take_step, None)
+
+    final = jax.lax.while_loop(
+        cond, body, (state0, s0[9], jnp.bool_(False), jnp.int32(0)))
+    state, chi2, _, it = final
+    zero = jnp.float32(0)
+    return nlls_solver.SolveResult(state=state, iterations=it, chi2=chi2,
+                                   r=zero, J=zero)
 
 
 def solve_pool(table, dist, geo, max_dist, points_xy, mask,
