@@ -121,15 +121,17 @@ def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
             max_dist=max_dist, res=geo.resolution, scale=geo.scale,
             cauchy_c=cauchy_c)
 
-    s0 = sums_at(state0)
+    # Like nlls_solver.solve, the carry holds the evaluation (the 10 sums)
+    # at the current state so each iteration runs exactly one fused eval —
+    # the tentative step's — instead of re-evaluating the carried state.
+    s0 = jnp.stack(sums_at(state0))
 
     def cond(c):
-        state, chi2, stop, it = c
+        state, s, stop, it = c
         return jnp.logical_and(~stop, it < opts.max_iterations)
 
     def body(c):
-        state, _, _, it = c
-        s = sums_at(state)
+        state, s, _, it = c
         A = jnp.stack([jnp.stack([s[0], s[1], s[2]]),
                        jnp.stack([s[1], s[3], s[4]]),
                        jnp.stack([s[2], s[4], s[5]])])
@@ -142,22 +144,22 @@ def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
         stop_now = jnp.logical_or(stop_g, stop_h)
 
         def converged(_):
-            return (state, chi2, jnp.bool_(True), it)
+            return (state, s, jnp.bool_(True), it)
 
         def take_step(_):
             new_state = update_state(state, h)
-            new_chi2 = sums_at(new_state)[9]
-            ok = (chi2 - new_chi2) > 0.0
+            ns = jnp.stack(sums_at(new_state))
+            ok = (chi2 - ns[9]) > 0.0
             st = jnp.where(ok, new_state, state)
-            return (st, chi2, ~ok, it + 1)
+            return (st, jnp.where(ok, ns, s), ~ok, it + 1)
 
         return jax.lax.cond(stop_now, converged, take_step, None)
 
     final = jax.lax.while_loop(
-        cond, body, (state0, s0[9], jnp.bool_(False), jnp.int32(0)))
-    state, chi2, _, it = final
+        cond, body, (state0, s0, jnp.bool_(False), jnp.int32(0)))
+    state, s, _, it = final
     zero = jnp.float32(0)
-    return nlls_solver.SolveResult(state=state, iterations=it, chi2=chi2,
+    return nlls_solver.SolveResult(state=state, iterations=it, chi2=s[9],
                                    r=zero, J=zero)
 
 

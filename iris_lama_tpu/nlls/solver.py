@@ -51,8 +51,8 @@ class SolveResult(NamedTuple):
     state: jax.Array       # final SE(2) state [4]
     iterations: jax.Array  # int32
     chi2: jax.Array        # final weighted chi^2
-    r: jax.Array           # last weighted residuals [B]
-    J: jax.Array           # last weighted Jacobian [B, 3]
+    r: jax.Array           # weighted residuals at the final state [B]
+    J: jax.Array           # weighted Jacobian at the final state [B, 3]
 
 
 def _weighted(eval_fn, robust: RobustCost, state):
@@ -96,22 +96,27 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
 
     r0, J0 = _weighted(eval_fn, robust, state0)
 
+    # The carry holds the weighted evaluation AT c.state, so each loop
+    # iteration runs exactly ONE problem evaluation (the tentative step's).
+    # The reference evaluates once per iteration too (solver.cpp:57 — the
+    # validity check consumes the residuals the next iteration reuses);
+    # a naive body that re-evaluates at the carried state would double the
+    # dominant cost (the field-interpolation gathers) for identical values.
     class Carry(NamedTuple):
         state: jax.Array
-        r: jax.Array
-        J: jax.Array
+        r: jax.Array         # weighted residuals at state
+        J: jax.Array         # weighted Jacobian at state
         chi2: jax.Array      # chi2 of (state, r, J) — strategy's chi2_
         mu: jax.Array        # LM damping (-1 = uninitialized)
         v: jax.Array         # LM nu
         stop: jax.Array
-        valid: jax.Array     # last step accepted -> re-eval next iteration
         it: jax.Array
 
     carry0 = Carry(
         state=state0, r=r0, J=J0,
         chi2=jnp.sum(r0 * r0),
         mu=jnp.float32(-1.0), v=jnp.float32(2.0),
-        stop=jnp.bool_(False), valid=jnp.bool_(True),
+        stop=jnp.bool_(False),
         it=jnp.int32(0),
     )
 
@@ -119,19 +124,11 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
         return jnp.logical_and(~c.stop, c.it < opts.max_iterations)
 
     def body(c: Carry):
-        # 1-2. (re-)evaluate + weight only if the previous step was valid
-        #      (solver.cpp:57-66; LM retries reuse cached r/J)
-        r, J = jax.lax.cond(
-            c.valid,
-            lambda s: _weighted(eval_fn, robust, s),
-            lambda s: (c.r, c.J),
-            c.state)
-        chi2 = jnp.sum(r * r)
-
-        # 3. strategy step (gauss_newton.cpp:53-73 / levenberg_marquardt.cpp:57-103)
-        g = J.T @ r
+        # 3. strategy step from the carried evaluation
+        #    (gauss_newton.cpp:53-73 / levenberg_marquardt.cpp:57-103)
+        g = c.J.T @ c.r
         stop_g = jnp.max(jnp.abs(g)) < opts.eps1
-        A = J.T @ J
+        A = c.J.T @ c.J
         if is_lm:
             diag_max = jnp.max(jnp.diag(A))
             mu = jnp.where(c.mu < 0, opts.tau * diag_max, c.mu)
@@ -145,17 +142,16 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
 
         # solver.cpp:81-83 — convergence before applying the step
         def converged(_):
-            return Carry(c.state, r, J, chi2, mu, c.v,
-                         jnp.bool_(True), jnp.bool_(True), c.it)
+            return Carry(c.state, c.r, c.J, c.chi2, mu, c.v,
+                         jnp.bool_(True), c.it)
 
         def take_step(_):
-            # 4. tentative update + validity check (solver.cpp:86-103)
+            # 4. tentative update + validity check (solver.cpp:86-103);
+            #    the evaluation is kept when the step is accepted
             new_state = update_fn(c.state, h)
-            ur, _ = eval_fn(new_state)
-            uw = jnp.sqrt(robust.weight(ur))
-            ur = ur * uw
-            new_chi2 = jnp.sum(ur * ur)
-            dF = chi2 - new_chi2
+            nr, nJ = _weighted(eval_fn, robust, new_state)
+            new_chi2 = jnp.sum(nr * nr)
+            dF = c.chi2 - new_chi2
             if is_lm:
                 dL = 0.5 * jnp.dot(h, mu * h - g)
                 ok = jnp.logical_and(dL > 0.0, dF > 0.0)
@@ -170,8 +166,11 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
                 new_mu, new_v = mu, c.v
                 stop_after = ~ok                # GN: invalid => stop (gn.cpp:75-87)
             state = jnp.where(ok, new_state, c.state)
+            r = jnp.where(ok, nr, c.r)
+            J = jnp.where(ok, nJ, c.J)
+            chi2 = jnp.where(ok, new_chi2, c.chi2)
             return Carry(state, r, J, chi2, new_mu, new_v,
-                         stop_after, ok, c.it + 1)
+                         stop_after, c.it + 1)
 
         return jax.lax.cond(stop_now, converged, take_step, None)
 
