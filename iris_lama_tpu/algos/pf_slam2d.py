@@ -32,6 +32,7 @@ from ..core.pose import Pose2D
 from ..match import match_surface_2d as match
 from ..nlls.robust import CAUCHY_SCAN
 from ..nlls.solver import SolverOptions
+from ..ops import gn_solve
 from ..sdm import mapping, window as win_mod
 from ..sdm.geometry import MapGeometry
 from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
@@ -330,6 +331,16 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
             # and pose dependency, skip the IRLS solve (wrong results).
             res_state = pose0 + 1e-7 * jnp.sum(dist_i[:2, :4])
             res_iters = jnp.int32(0)
+        elif (gn_solve.ENABLED and dist_i.dtype == jnp.int8
+              and jax.default_backend() == "tpu"):
+            # whole-solve kernel path: likelihood SSE comes out of the
+            # same launch (-sse/sigma differs from the per-beam division
+            # below only in reduction order; CPU paths keep the old math
+            # bit-exactly for the resident-vs-pool oracle tests)
+            res, sse = match.solve_window_lik(dist_i, m_org, geo, max_dist,
+                                              points[:, :2], mask, pose0,
+                                              sopts)
+            return res.state, -sse / opts.meas_sigma, res.iterations
         else:
             res = match.solve_window(dist_i, m_org, geo, max_dist,
                                      points[:, :2], mask, pose0, sopts)

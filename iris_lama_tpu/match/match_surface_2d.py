@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
-from ..ops import match_eval
+from ..ops import gn_solve, match_eval
 from ..sdm import distance as dist_mod
 from ..sdm.geometry import MapGeometry
 from ..nlls import solver as nlls_solver
@@ -91,9 +91,24 @@ def solve_window(grid, org_cell, geo, max_dist, points_xy, mask,
     """
     if (opts.strategy == "gn" and grid.dtype == jnp.int8
             and opts.robust.kind in ("cauchy", "unit")
-            and match_eval.ENABLED and jax.default_backend() == "tpu"):
-        return _solve_window_fused(grid, org_cell, geo, max_dist,
-                                   points_xy, mask, state0, opts)
+            and jax.default_backend() == "tpu"):
+        if gn_solve.ENABLED:
+            # whole-solve kernel: grid VMEM-resident across ALL IRLS
+            # iterations, per-particle early exit (ops/gn_solve.py)
+            cauchy_c = (opts.robust.param if opts.robust.kind == "cauchy"
+                        else 0.0)
+            st, it, chi2, _ = gn_solve.solve_window_sq(
+                grid, jnp.asarray(org_cell, jnp.int32), state0,
+                points_xy, mask, max_dist=max_dist, res=geo.resolution,
+                scale=geo.scale, cell_offset=geo.cell_offset,
+                cauchy_c=cauchy_c, eps1=opts.eps1, eps2=opts.eps2,
+                max_iter=opts.max_iterations)
+            zero = jnp.float32(0)
+            return nlls_solver.SolveResult(state=st, iterations=it,
+                                           chi2=chi2, r=zero, J=zero)
+        if match_eval.ENABLED:
+            return _solve_window_fused(grid, org_cell, geo, max_dist,
+                                       points_xy, mask, state0, opts)
     eval_fn = make_window_eval(grid, org_cell, geo, max_dist, points_xy, mask)
     return nlls_solver.solve(eval_fn, update_state, state0, opts)
 
@@ -161,6 +176,36 @@ def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
     zero = jnp.float32(0)
     return nlls_solver.SolveResult(state=state, iterations=it, chi2=s[9],
                                    r=zero, J=zero)
+
+
+def solve_window_lik(grid, org_cell, geo, max_dist, points_xy, mask,
+                     state0, opts):
+    """solve_window + the unweighted masked residual SSE at the final
+    state (PFSlam2D's likelihood input, pf_slam2d.cpp:393-414).
+
+    On the whole-solve kernel path the SSE comes out of the same launch
+    (ops/gn_solve.py want_lik) — no separate interpolation pass.
+    """
+    if (opts.strategy == "gn" and grid.dtype == jnp.int8
+            and opts.robust.kind in ("cauchy", "unit")
+            and gn_solve.ENABLED and jax.default_backend() == "tpu"):
+        cauchy_c = (opts.robust.param if opts.robust.kind == "cauchy"
+                    else 0.0)
+        st, it, chi2, sum_d2 = gn_solve.solve_window_sq(
+            grid, jnp.asarray(org_cell, jnp.int32), state0,
+            points_xy, mask, max_dist=max_dist, res=geo.resolution,
+            scale=geo.scale, cell_offset=geo.cell_offset,
+            cauchy_c=cauchy_c, eps1=opts.eps1, eps2=opts.eps2,
+            max_iter=opts.max_iterations, want_lik=True)
+        zero = jnp.float32(0)
+        return nlls_solver.SolveResult(state=st, iterations=it, chi2=chi2,
+                                       r=zero, J=zero), sum_d2
+    res = solve_window(grid, org_cell, geo, max_dist, points_xy, mask,
+                       state0, opts)
+    hits = lie.se2_apply(res.state, points_xy)
+    d, _ = dist_mod.interp_window(grid, org_cell, geo, hits, max_dist)
+    d = d * mask.astype(jnp.float32)
+    return res, jnp.sum(d * d)
 
 
 def solve_pool(table, dist, geo, max_dist, points_xy, mask,
