@@ -26,6 +26,7 @@ from ..core.pose import Pose2D
 from ..match import match_surface_2d as match
 from ..nlls import solver as nlls_solver
 from ..nlls.robust import CAUCHY_SCAN
+from ..ops import gn_solve
 from ..nlls.solver import SolverOptions
 from ..sdm import distance as dist_mod
 from ..sdm import mapping, occupancy as occ_mod, pool as pool_mod
@@ -243,11 +244,23 @@ class Loc2D:
             grid, _ = win_mod.gather_window(maps.distance.table,
                                             maps.distance.dist, keys,
                                             max_dist)
-            # squared-distance domain: the IRLS row selections ride the
-            # s8/bf16 MXU (distance._interp_window_sq), bit-identical
-            eval_fn = match.make_window_eval(self.dcfg.dist_to_sq(grid),
-                                             org, geo, max_dist, pts, msk)
-            res = nlls_solver.solve(eval_fn, match.update_state, pose0, sopts)
+            # f32 meters window by default: at batch=1 on this 576-cell
+            # window the f32 interp path measured ~2x the s8 squared
+            # domain (interleaved bench_loc: f32 187/214 vs s8+select4
+            # 102/89 vs s8+jnp 67/121 up/s — the s8 ladder pays off only
+            # with a particle batch, PF, or when the whole-solve kernel
+            # owns the grid). IRIS_LOC_SQ=1 forces s8 for A/B.
+            import os as _os
+            use_sq = (_os.environ.get("IRIS_LOC_SQ") == "1"
+                      or (gn_solve.ENABLED
+                          and jax.default_backend() == "tpu"))
+            win = self.dcfg.dist_to_sq(grid) if use_sq else grid
+            eval_fn = match.make_window_eval(win, org, geo, max_dist,
+                                             pts, msk)
+            # routes to the whole-solve kernel / fused loop when enabled;
+            # the generic branch is make_window_eval + nlls_solver.solve
+            res = match.solve_window(win, org, geo, max_dist, pts, msk,
+                                     pose0, sopts)
             cov = nlls_solver.covariance(eval_fn, sopts.robust, res.state)
             r, _ = eval_fn(res.state)
             n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
