@@ -85,14 +85,17 @@ def _solve3_scalar(a00, a01, a02, a11, a12, a22, g0, g1, g2):
 def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref, *,
             max_dist, res, scale, cell_offset, cauchy_c, eps1, eps2,
             max_iter, want_lik):
+    from jax.experimental import pallas as pl
+
     h = g_ref.shape[-2]
     w = g_ref.shape[-1]
     g = g_ref[0]
     px = px_ref[0, 0]
     py = py_ref[0, 0]
     fm = fm_ref[0, 0]
-    org_x = org_ref[0, 0]
-    org_y = org_ref[0, 1]
+    pid = pl.program_id(0)
+    org_x = org_ref[pid, 0]
+    org_y = org_ref[pid, 1]
     scl = jnp.float32(scale)
     off = jnp.int32(cell_offset)
 
@@ -113,8 +116,8 @@ def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref, *,
                                      hx, hy, fm, h, w, max_dist, res,
                                      scale, cc)
 
-    s0 = sums_at(st0_ref[0, 0], st0_ref[0, 1], st0_ref[0, 2],
-                 st0_ref[0, 3], cauchy_c)
+    s0 = sums_at(st0_ref[pid, 0], st0_ref[pid, 1], st0_ref[pid, 2],
+                 st0_ref[pid, 3], cauchy_c)
 
     def cond(carry):
         stop, it = carry[14], carry[15]
@@ -152,8 +155,8 @@ def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref, *,
 
         return jax.lax.cond(stop_now, converged, take_step, None)
 
-    init = (st0_ref[0, 0], st0_ref[0, 1], st0_ref[0, 2], st0_ref[0, 3]) \
-        + s0 + (jnp.int32(0), jnp.int32(0))
+    init = (st0_ref[pid, 0], st0_ref[pid, 1], st0_ref[pid, 2],
+            st0_ref[pid, 3]) + s0 + (jnp.int32(0), jnp.int32(0))
     fin = jax.lax.while_loop(cond, body, init)
     tx, ty, c, s = fin[0], fin[1], fin[2], fin[3]
     chi2 = fin[13]
@@ -208,10 +211,10 @@ def _solve_batched(grid, org, st0, pts, fm,
                           want_lik=want_lik),
         grid=(p,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            # whole scalar tables resident in SMEM, indexed by program_id
+            # (blocked SMEM specs would need 8x128-divisible shapes)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             vec, vec, vec,
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         ],

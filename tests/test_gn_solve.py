@@ -16,21 +16,33 @@ from iris_lama_tpu.sdm.geometry import MapGeometry
 GEO = MapGeometry(0.1, 4, False)
 H = W = 96
 MAXD = 0.5
-ORG = jnp.asarray([-40, -40], jnp.int32)
+# window origin == cell_offset so world [0,9.6)^2 maps onto the
+# 96x96 grid (loc = floor(w*scale)+cell_offset-ORG in [0,96))
+ORG = jnp.asarray([MapGeometry(0.1, 4, False).cell_offset] * 2,
+                  jnp.int32)
 OPTS = nlls_solver.SolverOptions(max_iterations=40, strategy="gn",
                                  robust=CAUCHY_SCAN)
 
 
 def _world(rng, b):
-    obst = rng.uniform(size=(H, W)) < 0.02
+    """Structured world: scan points ON obstacle surfaces, so a perturbed
+    start pose makes the solver actually iterate back (several GN steps),
+    exercising the loop body, step-revert and stop logic."""
+    obst = np.zeros((H, W), bool)
+    obst[20, 10:80] = True       # wall y=20
+    obst[20:80, 75] = True       # wall x=75
+    extra = rng.integers(15, 80, (10, 2))
+    obst[extra[:, 0], extra[:, 1]] = True
     ys, xs = np.nonzero(obst)
     yy, xx = np.mgrid[0:H, 0:W]
-    if len(ys):
-        d2 = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(-1)
-    else:
-        d2 = np.full((H, W), 25)
+    d2 = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(-1)
     grid = np.minimum(d2, 25).astype(np.int8)
-    pts = rng.uniform(1.0, 8.0, (b, 2)).astype(np.float32)
+    # beams sample the obstacle cells (world coords of cell centers,
+    # org offset included: world = (cell - ORG) * res)
+    k = rng.integers(0, len(ys), b)
+    pts = np.stack([(xs[k] + 0.5) * 0.1, (ys[k] + 0.5) * 0.1],
+                   -1).astype(np.float32)
+    pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
     mask = (rng.uniform(size=b) < 0.9)
     return jnp.asarray(grid), jnp.asarray(pts), jnp.asarray(mask)
 
@@ -57,6 +69,9 @@ def test_kernel_solve_matches_generic(seed):
                          jnp.float32)
     st, it, chi2, _ = _kernel_solve(grid, pts, mask, state0)
     ref = _ref_solve(grid, pts, mask, state0)
+    # the structured world must actually drive the loop (a window origin
+    # that misses the grid degenerates to 0 iterations — seen once)
+    assert int(ref.iterations) >= 3
     np.testing.assert_allclose(np.asarray(st), np.asarray(ref.state),
                                rtol=1e-4, atol=1e-5)
     assert int(it) == int(ref.iterations)
