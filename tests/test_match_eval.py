@@ -16,19 +16,27 @@ from iris_lama_tpu.sdm.geometry import MapGeometry
 GEO = MapGeometry(0.1, 4, False)
 H = W = 96
 MAXD = 0.5
+# origin == cell_offset so world [0,9.6)^2 lands on the grid (an origin
+# that misses the window makes every corner read max_dist and the solves
+# trivial — the original [-40,-40] did exactly that)
+ORG0 = MapGeometry(0.1, 4, False).cell_offset
 
 
 def _world(rng, b):
-    # scattered obstacles -> an s8 squared-distance grid via a brute field
-    obst = rng.uniform(size=(H, W)) < 0.02
+    # walls + clutter; beams on obstacle surfaces so solves iterate
+    obst = np.zeros((H, W), bool)
+    obst[20, 10:80] = True
+    obst[20:80, 75] = True
+    extra = rng.integers(15, 80, (10, 2))
+    obst[extra[:, 0], extra[:, 1]] = True
     ys, xs = np.nonzero(obst)
     yy, xx = np.mgrid[0:H, 0:W]
-    if len(ys):
-        d2 = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(-1)
-    else:
-        d2 = np.full((H, W), 25)
+    d2 = ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(-1)
     grid = np.minimum(d2, 25).astype(np.int8)
-    pts = rng.uniform(1.0, 8.0, (b, 2)).astype(np.float32)
+    k = rng.integers(0, len(ys), b)
+    pts = np.stack([(xs[k] + 0.5) * 0.1, (ys[k] + 0.5) * 0.1],
+                   -1).astype(np.float32)
+    pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
     mask = (rng.uniform(size=b) < 0.9)
     return jnp.asarray(grid), jnp.asarray(pts), jnp.asarray(mask)
 
@@ -47,7 +55,7 @@ def test_kernel_sums_match_jnp(impl):
     rng = np.random.default_rng(0)
     grid, pts, mask = _world(rng, 170)
     state = jnp.asarray([0.3, -0.2, np.cos(0.1), np.sin(0.1)], jnp.float32)
-    org = jnp.asarray([-40, -40], jnp.int32)
+    org = jnp.asarray([ORG0, ORG0], jnp.int32)
     args = _sums_args(grid, pts, mask, state, org)
     kw = dict(max_dist=MAXD, res=GEO.resolution, scale=GEO.scale,
               cauchy_c=0.15)
@@ -63,7 +71,7 @@ def test_kernel_sums_vmapped():
     states = jnp.asarray(
         [[0.3, -0.2, 1.0, 0.0], [0.1, 0.4, np.cos(0.2), np.sin(0.2)],
          [-0.2, 0.0, np.cos(-0.1), np.sin(-0.1)]], jnp.float32)
-    org = jnp.asarray([-40, -40], jnp.int32)
+    org = jnp.asarray([ORG0, ORG0], jnp.int32)
     kw = dict(max_dist=MAXD, res=GEO.resolution, scale=GEO.scale,
               cauchy_c=0.15)
 
@@ -82,7 +90,7 @@ def test_fused_solve_matches_generic():
     """The fused GN loop (jnp eval path) vs nlls_solver.solve."""
     rng = np.random.default_rng(2)
     grid, pts, mask = _world(rng, 200)
-    org = jnp.asarray([-40, -40], jnp.int32)
+    org = jnp.asarray([ORG0, ORG0], jnp.int32)
     state0 = jnp.asarray([0.25, -0.15, np.cos(0.05), np.sin(0.05)],
                          jnp.float32)
     opts = nlls_solver.SolverOptions(max_iterations=40, strategy="gn",
