@@ -21,6 +21,20 @@ mirrors of distance._interp_window_sq + match_surface_2d.make_window_eval
 + nlls_solver._weighted). Reduction association is Mosaic-scheduled, so
 sums can differ from the XLA path in the last ulp; the CPU jnp path stays
 the oracle (same policy as ops/match_eval.py).
+
+MEASURED (TPU v5e, interleaved A/B vs the default jnp paths, 2026-08):
+  PF 30 particles:  26.2/26.4/26.7 vs 30.7/31.7 updates/s  -> LOSES ~15%
+  Slam2D (P=1):     392/460 vs 469/425 scans/s             -> tie
+  Loc2D (P=1):      79 vs 149/200 updates/s                -> loses
+Verdict: default OFF, recorded attempt. Although residency + per-particle
+early exit work exactly as designed (correctness verified bit-equal to
+interpret mode through multi-iteration solves), the sequential grid
+serializes [2B,W]x[W,W] matmuls that XLA's batched while_loop overlaps
+across particles, and sum-of-iterations (~25x30) is not enough below
+max*N (~35x30) to pay for that. The Loc2D number also carries the s8
+covariance/rmse evals its f32 default avoids. A future attempt would
+need cross-particle MXU batching INSIDE the kernel (block-diagonal
+corner dots), which this grid layout cannot express.
 """
 
 from __future__ import annotations
