@@ -261,8 +261,10 @@ class Loc2D:
             # the generic branch is make_window_eval + nlls_solver.solve
             res = match.solve_window(win, org, geo, max_dist, pts, msk,
                                      pose0, sopts)
-            cov = nlls_solver.covariance(eval_fn, sopts.robust, res.state)
-            r, _ = eval_fn(res.state)
+            # one post-solve evaluation shared by covariance and RMSE
+            # (was two identical evals — the field gathers dominate)
+            r, J = eval_fn(res.state)
+            cov = nlls_solver.covariance_from_eval(r, J, sopts.robust)
             n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
             rmse = jnp.sqrt(jnp.sum(r * r) / n)
             return res.state, cov, rmse

@@ -180,13 +180,20 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
 
 
 def covariance(eval_fn, robust: RobustCost, state):
-    """Parameter covariance at ``state`` (solver.cpp:122-151).
+    """Parameter covariance at ``state`` (solver.cpp:122-151)."""
+    r, J = eval_fn(state)
+    return covariance_from_eval(r, J, robust)
+
+
+def covariance_from_eval(r, J, robust: RobustCost):
+    """Covariance from an already-computed unweighted evaluation
+    (solver.cpp:122-151).
 
     QR-rank-checked inverse of J'J with the reference's SVD fallback
     (tolerance 1e-3; out-of-tolerance singular values mapped to 3.0 —
-    solver.cpp:143-149 verbatim).
+    solver.cpp:143-149 verbatim). Callers that also need the residuals
+    (e.g. Loc2D's post-solve RMSE) share one problem evaluation.
     """
-    r, J = eval_fn(state)
     w = jnp.sqrt(robust.weight(r))
     J = J * w[:, None]
     A = J.T @ J
