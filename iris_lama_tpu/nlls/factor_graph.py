@@ -54,13 +54,22 @@ class SE2Graph(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class PGOOptions:
-    """LM knobs (minisam LevenbergMarquardtOptimizerParams defaults)."""
+    """Optimizer knobs (minisam *OptimizerParams defaults).
+
+    strategy: "lm" (LevenbergMarquardtOptimizer), "gn"
+    (GaussNewtonOptimizer — undamped steps, stop on non-improvement) or
+    "dogleg" (DoglegOptimizer — Powell's dogleg on a trust region,
+    minisam/nonlinear/DoglegOptimizer.cpp: blend of the GN step and the
+    Cauchy/steepest-descent step, radius adapted by the gain ratio).
+    """
 
     max_iterations: int = 50
+    strategy: str = "lm"
     lambda_init: float = 1e-5
     lambda_up: float = 10.0
     lambda_down: float = 0.1
     rtol: float = 1e-6
+    radius_init: float = 1.0      # dogleg trust-region radius (minisam)
 
 
 def _prior_residual(x, meas, w):
@@ -160,11 +169,14 @@ def _chi2_only(nodes, graph: SE2Graph):
 
 def optimize(nodes, graph: SE2Graph, active_mask,
              opts: PGOOptions = PGOOptions()):
-    """LM optimize. nodes f32[N, 4] SE(2); active_mask bool[N].
+    """Optimize the pose graph. nodes f32[N, 4] SE(2); active_mask bool[N].
 
-    Returns (nodes, info dict).
+    Returns (nodes, info dict). Strategy per opts.strategy (LM default;
+    GN and Powell-dogleg for minisam optimizer parity).
     """
     n = nodes.shape[0]
+    is_lm = opts.strategy == "lm"
+    is_dl = opts.strategy == "dogleg"
 
     def cond(carry):
         nodes, lam, chi2, it, done = carry
@@ -172,23 +184,65 @@ def optimize(nodes, graph: SE2Graph, active_mask,
 
     def body(carry):
         nodes, lam, chi2, it, done = carry
+        # ``lam`` doubles as the dogleg trust radius
         H, g, chi2_now = _normal_equations(nodes, graph, active_mask)
-        Hd = H + lam * jnp.diag(jnp.diag(H))      # LM: scale-invariant damping
+        if is_lm:
+            Hd = H + lam * jnp.diag(jnp.diag(H))  # scale-invariant damping
+        else:
+            Hd = H
         L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
         delta = jax.scipy.linalg.cho_solve((L, low), -g)
+        if is_dl:
+            # Powell's dogleg (minisam/nonlinear/DoglegOptimizer.cpp):
+            # h_sd = -alpha g with alpha = g'g / g'Hg; pick h_gn if inside
+            # the radius, clipped h_sd if even it exceeds it, else the
+            # blend on the segment h_sd -> h_gn hitting the boundary.
+            gg = jnp.dot(g, g)
+            gHg = jnp.dot(g, H @ g)
+            alpha = gg / jnp.maximum(gHg, 1e-30)
+            h_sd = -alpha * g
+            n_gn = jnp.linalg.norm(delta)
+            n_sd = jnp.linalg.norm(h_sd)
+            # beta: ||h_sd + beta (h_gn - h_sd)|| = radius
+            v = delta - h_sd
+            a = jnp.dot(v, v)
+            b = 2.0 * jnp.dot(h_sd, v)
+            cc = jnp.dot(h_sd, h_sd) - lam * lam
+            disc = jnp.maximum(b * b - 4 * a * cc, 0.0)
+            beta = (-b + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-30)
+            h_blend = h_sd + beta * v
+            delta = jnp.where(
+                n_gn <= lam, delta,
+                jnp.where(n_sd >= lam, h_sd * (lam / jnp.maximum(n_sd,
+                                                                 1e-30)),
+                          h_blend))
         delta = delta.reshape(n, 3) * active_mask[:, None]
         new_nodes = lie.se2_compose(nodes, lie.se2_exp(delta))
         new_chi2 = _chi2_only(new_nodes, graph)
         improved = new_chi2 < chi2_now
         nodes = jnp.where(improved, new_nodes, nodes)
-        lam = jnp.where(improved, lam * opts.lambda_down, lam * opts.lambda_up)
-        lam = jnp.clip(lam, 1e-9, 1e6)
+        if is_lm:
+            lam = jnp.where(improved, lam * opts.lambda_down,
+                            lam * opts.lambda_up)
+            lam = jnp.clip(lam, 1e-9, 1e6)
+        elif is_dl:
+            # gain ratio vs the quadratic model decrease
+            df = delta.reshape(-1)
+            pred = -(jnp.dot(g, df) + 0.5 * jnp.dot(df, H @ df))
+            rho = (chi2_now - new_chi2) / jnp.maximum(pred, 1e-30)
+            lam = jnp.where(rho > 0.75, jnp.maximum(lam,
+                                                    3.0 * jnp.linalg.norm(df)),
+                            jnp.where(rho < 0.25, lam * 0.5, lam))
+            lam = jnp.clip(lam, 1e-6, 1e6)
         rel = jnp.abs(chi2_now - new_chi2) / jnp.maximum(chi2_now, 1e-12)
         done = jnp.logical_and(improved, rel < opts.rtol)
         done = jnp.logical_or(done, jnp.max(jnp.abs(delta)) < 1e-8)
+        if not is_lm and not is_dl:
+            # GN: a non-improving undamped step means we are done
+            done = jnp.logical_or(done, ~improved)
         return nodes, lam, jnp.where(improved, new_chi2, chi2_now), it + 1, done
 
-    lam0 = jnp.float32(opts.lambda_init)
+    lam0 = jnp.float32(opts.radius_init if is_dl else opts.lambda_init)
     chi0 = _chi2_only(nodes, graph)
     nodes, lam, chi2, it, done = jax.lax.while_loop(
         cond, body, (nodes, lam0, chi0, jnp.int32(0), jnp.bool_(False)))

@@ -147,3 +147,41 @@ def test_marginal_covariance_grows_along_chain():
     tr = [np.trace(np.asarray(
         fg.marginal_covariance(nodes, graph, active, i))) for i in range(4)]
     assert tr[0] < tr[1] < tr[2] < tr[3], tr
+
+
+def test_gn_and_dogleg_match_lm():
+    """minisam optimizer parity: GN / Dogleg converge to the LM solution
+    on a noisy loop graph (same minimum, strategy-independent)."""
+    true = [Pose2D(0, 0, 0)]
+    for k in range(7):
+        true.append(true[-1] + Pose2D(1.0, 0.0, np.pi / 4))
+    b = fg.GraphBuilder()
+    b.add_prior(0, true[0].se2_array(), (0.01, 0.01, 0.01))
+    r2 = np.random.default_rng(3)
+    for i in range(7):
+        meas = true[i] - true[i + 1]
+        noisy = Pose2D(meas.x() + r2.normal(0, 0.05),
+                       meas.y() + r2.normal(0, 0.05),
+                       meas.rotation() + r2.normal(0, 0.02))
+        b.add_between(i, i + 1, noisy.se2_array(), (0.5, 0.5, 0.1))
+    # loop closure back to the start
+    loop = true[7] - true[0]
+    b.add_between(7, 0, loop.se2_array(), (0.2, 0.2, 0.05))
+    graph = b.finalize()
+
+    init = [Pose2D(p.x() + r2.normal(0, 0.2), p.y() + r2.normal(0, 0.2),
+                   p.rotation() + r2.normal(0, 0.05)) for p in true]
+    nodes, active = _nodes_array(init, 64)
+
+    sols = {}
+    for strat in ("lm", "gn", "dogleg"):
+        out, info = fg.optimize(nodes, graph, active,
+                                fg.PGOOptions(strategy=strat))
+        sols[strat] = (np.asarray(out)[:8], float(info["chi2"]))
+        assert int(info["iterations"]) > 0
+
+    for strat in ("gn", "dogleg"):
+        np.testing.assert_allclose(sols[strat][1], sols["lm"][1],
+                                   rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(sols[strat][0], sols["lm"][0],
+                                   atol=2e-3)
