@@ -88,6 +88,11 @@ class PFSlam2DOptions:
     # per-update gather/alloc/writeback entirely at the cost of a slightly
     # wider window. Exact (same windowed-EDT contract).
     resident_window: bool = True
+    # wander headroom rings on the resident window (sdm/mapping.py:
+    # MappingConfig.resident_extra_patches). prof_pf_events: with 0 rings
+    # the filter re-orgs on 41% of updates at ~+45 ms each.
+    resident_extra_patches: int = int(os.environ.get(
+        "IRIS_RESIDENT_EXTRA", "0"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -99,6 +104,7 @@ class PFSlam2DOptions:
             max_range=self.max_range,
             pose_slack=self.pose_slack,
             capacity=self.capacity,
+            resident_extra_patches=self.resident_extra_patches,
         )
 
     def solver_options(self) -> SolverOptions:

@@ -82,6 +82,14 @@ class MappingConfig:
     max_range: float = 10.0     # beams beyond this are dropped by the driver
     pose_slack: float = 2.0     # window margin for match-vs-predict motion
     capacity: int = 4096        # patch pool capacity
+    # extra patch rings of pose-wander headroom on the resident window.
+    # The minimum window admits only half a patch (16 cells = 0.8 m at
+    # 5 cm) of wander before a re-org; prof_pf_events measured re-orgs on
+    # 41% of PF updates at ~+45 ms each (flush+gather+lineage settle).
+    # Each ring adds a full patch of wander per axis while the exact
+    # update/match sub-windows (and so the per-update core cost) are
+    # unchanged.
+    resident_extra_patches: int = 0
     occ_model: str = "frequency"   # "frequency" | "probabilistic"
     transient: bool = False     # prune patches outside the scan AABB
     transient_expand: float = 2.0  # slam2d.cpp:335-340 uses 2x; lidar odom 1x
@@ -147,7 +155,7 @@ class MappingConfig:
         of pose wander before a re-org is forced."""
         length = self.geometry.patch_length
         need = 2 * (self.resident_margin_cells + length + length // 2 - 1)
-        return (need + length - 1) // length
+        return (need + length - 1) // length + 2 * self.resident_extra_patches
 
     @property
     def resident_window_cells(self) -> int:
