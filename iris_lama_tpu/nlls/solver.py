@@ -198,13 +198,13 @@ def covariance_from_eval(r, J, robust: RobustCost):
     J = J * w[:, None]
     A = J.T @ J
 
-    # Rank check via SVD of J (ColPivQR rank equivalent).
-    sv = jnp.linalg.svd(J, compute_uv=False)
-    full_rank = sv[-1] > 1e-6 * jnp.maximum(sv[0], 1e-30)
-
     inv = jnp.linalg.inv(A)
 
+    # One SVD serves both the rank check (ColPivQR rank equivalent) and
+    # the pseudo-inverse fallback (SVD on TPU is an iterative expansion —
+    # the second identical decomposition was pure cost).
     _, s, vt = jnp.linalg.svd(J, full_matrices=False)
+    full_rank = s[-1] > 1e-6 * jnp.maximum(s[0], 1e-30)
     eps = 1e-3
     s_inv2 = jnp.where(jnp.abs(s) > eps, 1.0 / (s * s), 3.0)
     pinv = (vt.T * s_inv2[None, :]) @ vt
