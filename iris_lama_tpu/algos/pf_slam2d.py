@@ -92,10 +92,12 @@ class PFSlam2DOptions:
     # MappingConfig.resident_extra_patches). prof_pf_events: with 0 rings
     # the filter re-orgs on 41% of updates at ~+45 ms each (the minimum
     # window allows half a patch of wander). Measured interleaved on the
-    # PF bench: 30.2/31.3 (0) -> 38.7/41.5 (2) -> 51.6/51.1 (4) up/s at
-    # identical 1.0 mm error. Env override for A/B.
+    # PF bench: 30.2/31.3 (0) -> 38.7/41.5 (2) -> 51.6/51.1/44.9/34.9 (4)
+    # -> 49.2/33.7 (6) -> 58.4/53.8 (8) up/s at identical 1.0 mm error
+    # (the 34.9/33.7 round hit a tunnel-drift window; 8 led every round).
+    # Env override for A/B.
     resident_extra_patches: int = int(os.environ.get(
-        "IRIS_RESIDENT_EXTRA", "4"))
+        "IRIS_RESIDENT_EXTRA", "8"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))

@@ -15,6 +15,7 @@ and inherently sequential.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -59,6 +60,15 @@ class Slam2DOptions:
     max_beams: int = 0          # 0 = bucket from first scan
     capacity: int = 4096        # patch-pool capacity
     pose_slack: float = 2.0
+    # Resident sliding window (sdm/mapping.py): dense window grids as the
+    # primary map state; the patch pool is only exchanged on a (rare)
+    # re-org — removes the per-scan gather/alloc/writeback. Exact (same
+    # windowed-EDT contract; the match sub-window provably contains every
+    # probe the pool window would serve). Auto-disabled for transient maps
+    # and the spill tier, which need per-scan pool interaction.
+    resident_window: bool = os.environ.get("IRIS_SLAM_RESIDENT", "1") != "0"
+    resident_extra_patches: int = int(os.environ.get(
+        "IRIS_SLAM_RESIDENT_EXTRA", "4"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -72,6 +82,7 @@ class Slam2DOptions:
             capacity=self.capacity,
             transient=self.transient_map,
             transient_expand=2.0,       # slam2d.cpp:335-340
+            resident_extra_patches=self.resident_extra_patches,
         )
 
     def solver_options(self) -> SolverOptions:
@@ -125,6 +136,76 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
             jax.jit(first_step, donate_argnums=(0,)))
 
 
+def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
+    """Fused per-scan program on a resident sliding window.
+
+    Same math as :func:`_make_step`'s pool path, but the dense window grids
+    are the primary state: the step re-orgs (pool flush + re-center +
+    gather) only when the predicted pose leaves the safe zone, matches on a
+    pose-centered sub-window of the resident s8 squared-distance grid, and
+    applies the scan with :func:`mapping.resident_update`. Bit-parity with
+    the pool path: the sub-window provably contains every matcher probe
+    (match_window_cells' half-width >= reach + pose_slack + bilinear slop,
+    and the safe-zone margin keeps the slice unclipped), and resident
+    values equal pool values between exchanges (test_pf_resident /
+    test_slam2d_resident).
+    """
+    geo = cfg.geometry
+    max_dist = cfg.distance.max_dist
+    w_res = cfg.resident_window_cells
+    ws_m = cfg.match_window_cells
+
+    def step(state, org, occ, vis, dist, pose_prev, odelta, points, mask,
+             origin, traj, k):
+        pose0 = lie.se2_compose(pose_prev, odelta)
+        p0cell = geo.w2m(pose0[:2])
+        safe = mapping.resident_safe(cfg, org, p0cell)
+
+        def do_reorg(op):
+            state, org, occ, vis, dist = op
+            state = mapping.resident_flush(state, cfg, org, occ, vis, dist)
+            new_org = mapping.resident_org(cfg, p0cell)
+            occ, vis, dist = mapping.resident_gather(state, cfg, new_org)
+            return state, new_org, occ, vis, dist
+
+        state, org, occ, vis, dist = jax.lax.cond(
+            safe, lambda op: op, do_reorg, (state, org, occ, vis, dist))
+
+        dist_m, m_org = dist, org
+        if ws_m < w_res:
+            lp = p0cell - org
+            start = jnp.clip(lp - ws_m // 2, 0, w_res - ws_m)
+            dist_m = jax.lax.dynamic_slice(dist, (start[1], start[0]),
+                                           (ws_m, ws_m))
+            m_org = org + start
+        res = match.solve_window(dist_m, m_org, geo, max_dist,
+                                 points[:, :2], mask, pose0, sopts)
+
+        occ, vis, dist, n_cells = mapping.resident_update(
+            cfg, org, occ, vis, dist, res.state, points, mask, origin)
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)
+        info = {"iterations": res.iterations, "chi2": res.chi2,
+                "processed_cells": n_cells,
+                "num_patches": state.table.num_patches(),
+                "overflow": state.table.overflow,
+                "reorged": ~safe,
+                "escaped": ~mapping.resident_safe(cfg, org,
+                                                  geo.w2m(res.state[:2]))}
+        return state, org, occ, vis, dist, res.state, traj, info
+
+    def first_step(org, occ, vis, dist, pose0, points, mask, origin):
+        occ, vis, dist, _ = mapping.resident_update(
+            cfg, org, occ, vis, dist, pose0, points, mask, origin)
+        return occ, vis, dist
+
+    def flush(state, org, occ, vis, dist):
+        return mapping.resident_flush(state, cfg, org, occ, vis, dist)
+
+    return (jax.jit(step, donate_argnums=(0, 2, 3, 4, 10)),
+            jax.jit(first_step, donate_argnums=(1, 2, 3)),
+            jax.jit(flush, donate_argnums=(0,)))
+
+
 class Slam2D:
     """Host driver; mirrors the reference public API (slam2d.h:127-176)."""
 
@@ -134,7 +215,7 @@ class Slam2D:
         self.options = options
         self.cfg = options.mapping_config()
         self.sopts = options.solver_options()
-        self.map = mapping.slam_map_init(self.cfg)
+        self._map = mapping.slam_map_init(self.cfg)
         self.odom_ = Pose2D()
         self.has_first_scan = False
         self.summary: Optional[Summary] = (
@@ -143,6 +224,17 @@ class Slam2D:
         self._step = None
         self._last_info_dev = {}
         self._first = None
+        # resident sliding window (disabled where per-scan pool interaction
+        # is required: transient pruning, host spill tier)
+        self._resident = (options.resident_window
+                          and not options.transient_map
+                          and not options.use_compression)
+        self._res_org = None
+        self._res_occ = None
+        self._res_vis = None
+        self._res_dist = None
+        self._res_dirty = False
+        self._flush = None
         # pose lives on device; host copy is refreshed lazily
         self._pose_dev = jnp.asarray(Pose2D().se2_array())
         self._pose_host: Optional[Pose2D] = Pose2D()
@@ -160,6 +252,21 @@ class Slam2D:
             self._check_at = int(0.85 * options.capacity)
 
     # -- reference API ------------------------------------------------------
+    @property
+    def map(self) -> mapping.SlamMapState:
+        """The patch-pool map. On the resident path the pool is refreshed
+        lazily: reading this property flushes the resident grids into the
+        pool when they are ahead of it (rare outside map export)."""
+        if self._resident and self._res_dirty:
+            self._map = self._flush(self._map, self._res_org, self._res_occ,
+                                    self._res_vis, self._res_dist)
+            self._res_dirty = False
+        return self._map
+
+    @map.setter
+    def map(self, value: mapping.SlamMapState) -> None:
+        self._map = value
+
     def set_prior(self, prior: Pose2D) -> None:
         self._pose_dev = jnp.asarray(prior.se2_array())
         self._pose_host = prior
@@ -198,7 +305,7 @@ class Slam2D:
         if self._max_beams == 0:
             self._max_beams = beam_bucket(len(cloud.points))
         if self._step is None:
-            self._step, self._first = _make_step(self.cfg, self.sopts)
+            self._build_programs()
 
         points, mask, origin = pad_scan(cloud, self._max_beams)
         points, mask, origin = (jnp.asarray(points), jnp.asarray(mask),
@@ -206,13 +313,9 @@ class Slam2D:
 
         if not self.has_first_scan:
             self.odom_ = odometry
-            self.map, _ = self._first(self.map, self._pose_dev, points, mask,
-                                      origin)
-            self._traj = self._traj.at[0].set(self._pose_dev)
-            self._n_updates = 1
-            self.has_first_scan = True
+            self._do_first(points, mask, origin)
             if self.summary:
-                jax.block_until_ready(self.map.dist)
+                jax.block_until_ready(self._pose_dev)
                 dt = time.perf_counter() - t0
                 self.summary.probe(timestamp, dt, mapping=dt,
                                    memory=self.memory_usage())
@@ -227,15 +330,7 @@ class Slam2D:
         if self._spill is not None:
             self._spill_hooks(odometry)        # refill window / spill far
         self.odom_ = odometry
-
-        # 2-3. optimize + map update (single fused device program); the pose
-        # stays on device, host copy goes stale
-        self.map, self._pose_dev, self._traj, info = self._step(
-            self.map, self._pose_dev, jnp.asarray(odelta.se2_array()),
-            points, mask, origin, self._traj, jnp.int32(self._n_updates))
-        self._pose_host = None
-        self._last_info_dev = info
-        self._n_updates += 1
+        self._do_step(odelta, points, mask, origin)
 
         if self.summary:
             jax.block_until_ready(self._pose_dev)
@@ -244,20 +339,58 @@ class Slam2D:
                                memory=self.memory_usage())
         return True
 
+    def _do_first(self, points, mask, origin) -> None:
+        if self._resident:
+            cfg, geo = self.cfg, self.cfg.geometry
+            w = cfg.resident_window_cells
+            occ_dtype = (mapping.OCC_DTYPE if cfg.occ_model == "frequency"
+                         else jnp.float32)
+            self._res_org = mapping.resident_org(
+                cfg, geo.w2m(self._pose_dev[:2]))
+            self._res_occ, self._res_vis, self._res_dist = self._first(
+                self._res_org,
+                jnp.zeros((w, w), occ_dtype),
+                jnp.zeros((w, w), mapping.OCC_DTYPE),
+                jnp.full((w, w), cfg.distance.max_sqdist, cfg.sq_dtype),
+                self._pose_dev, points, mask, origin)
+            self._res_dirty = True
+        else:
+            self._map, _ = self._first(self._map, self._pose_dev, points,
+                                       mask, origin)
+        self._traj = self._traj.at[0].set(self._pose_dev)
+        self._n_updates = 1
+        self.has_first_scan = True
+
+    def _do_step(self, odelta: Pose2D, points, mask, origin) -> None:
+        """2-3. optimize + map update (single fused device program); the
+        pose stays on device, host copy goes stale."""
+        od = jnp.asarray(odelta.se2_array())
+        k = jnp.int32(self._n_updates)
+        if self._resident:
+            (self._map, self._res_org, self._res_occ, self._res_vis,
+             self._res_dist, self._pose_dev, self._traj, info) = self._step(
+                self._map, self._res_org, self._res_occ, self._res_vis,
+                self._res_dist, self._pose_dev, od, points, mask, origin,
+                self._traj, k)
+            self._res_dirty = True
+        else:
+            self._map, self._pose_dev, self._traj, info = self._step(
+                self._map, self._pose_dev, od, points, mask, origin,
+                self._traj, k)
+        self._pose_host = None
+        self._last_info_dev = info
+        self._n_updates += 1
+
     def update_prepadded(self, points, mask, origin, odometry: Pose2D,
                          timestamp: float = 0.0) -> bool:
         """Fast path for pre-staged scans (offline logs): points/mask/origin
         already padded device arrays — skips per-scan host packing."""
         if self._step is None:
             self._max_beams = points.shape[0]
-            self._step, self._first = _make_step(self.cfg, self.sopts)
+            self._build_programs()
         if not self.has_first_scan:
             self.odom_ = odometry
-            self.map, _ = self._first(self.map, self._pose_dev, points, mask,
-                                      origin)
-            self._traj = self._traj.at[0].set(self._pose_dev)
-            self._n_updates = 1
-            self.has_first_scan = True
+            self._do_first(points, mask, origin)
             return True
         odelta = self.odom_ - odometry
         if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh and
@@ -266,13 +399,15 @@ class Slam2D:
         if self._spill is not None:
             self._spill_hooks(odometry)
         self.odom_ = odometry
-        self.map, self._pose_dev, self._traj, info = self._step(
-            self.map, self._pose_dev, jnp.asarray(odelta.se2_array()),
-            points, mask, origin, self._traj, jnp.int32(self._n_updates))
-        self._pose_host = None
-        self._last_info_dev = info
-        self._n_updates += 1
+        self._do_step(odelta, points, mask, origin)
         return True
+
+    def _build_programs(self) -> None:
+        if self._resident:
+            self._step, self._first, self._flush = _make_step_resident(
+                self.cfg, self.sopts)
+        else:
+            self._step, self._first = _make_step(self.cfg, self.sopts)
 
     def full_map(self) -> mapping.SlamMapState:
         """The complete map for IO/export: with the spill tier active this
@@ -284,8 +419,17 @@ class Slam2D:
         return merged
 
     def memory_usage(self) -> int:
-        """Allocated patch bytes (Map::memory, src/sdm/map.cpp:115-137)."""
-        n = int(self.map.table.num_patches())
+        """Allocated patch bytes (Map::memory, src/sdm/map.cpp:115-137).
+
+        Reads the unflushed pool (plus the dense resident grids when
+        active) so per-update Summary probes never force a pool flush.
+        """
+        n = int(self._map.table.num_patches())
+        if self._resident and self._res_dist is not None:
+            w = self.cfg.resident_window_cells
+            return (n * self.cfg.geometry.patch_length ** 2 * 9
+                    + w * w * (2 + 2 + self._res_dist.dtype.itemsize)
+                    + (self._spill.memory_usage() if self._spill else 0))
         length = self.cfg.geometry.patch_length
         per_patch = length * length * (2 + 2 + 1 + 4)
         total = n * per_patch

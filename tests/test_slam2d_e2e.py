@@ -129,3 +129,35 @@ def test_update_paths_equivalent():
                            data.odometry[k], data.timestamps[k])
 
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
+
+
+def test_resident_matches_pool_path():
+    """The resident sliding-window step is bit-equal to the pool path:
+    identical trajectories and identical dense map content (the match
+    sub-window provably contains every probe the pool window serves, and
+    resident values equal pool values between exchanges)."""
+    from iris_lama_tpu.sdm import export
+
+    est_r, _, _, slam_r = run_sim_slam(n_steps=80, resident_window=True,
+                                       resident_extra_patches=1)
+    est_p, _, _, slam_p = run_sim_slam(n_steps=80, resident_window=False)
+
+    np.testing.assert_array_equal(est_r, est_p)
+
+    def dense(slam):
+        m = slam.map   # flushes the resident grids on the resident path
+        geo = slam.cfg.geometry
+        occ, _ = export._dense_from_pool(m.table, np.asarray(m.occupied),
+                                         geo, np.uint16(0))
+        vis, _ = export._dense_from_pool(m.table, np.asarray(m.visited),
+                                         geo, np.uint16(0))
+        dist, _ = export._dense_from_pool(
+            m.table, np.asarray(m.dist), geo,
+            np.float32(slam.cfg.distance.max_dist))
+        return occ, vis, dist
+
+    occ_r, vis_r, dist_r = dense(slam_r)
+    occ_p, vis_p, dist_p = dense(slam_p)
+    np.testing.assert_array_equal(occ_r, occ_p)
+    np.testing.assert_array_equal(vis_r, vis_p)
+    np.testing.assert_array_equal(dist_r, dist_p)
