@@ -185,8 +185,10 @@ class Loc2D:
         self.gloc_cur_iter = 0
         self.key = jax.random.PRNGKey(seed if seed else 42)
         self._max_beams = options.max_beams
-        self._solve = None
         self._gloc = None
+        self._gather = None
+        self._win_dev = None            # resident fixed-map window
+        self._org_dev = None
         self._samp_cov = None
         self._rmse = None
         self._step = None
@@ -231,35 +233,50 @@ class Loc2D:
         # window sizing: scan reach + solver travel slack (same margin logic
         # as MappingConfig.window_patches)
         import math as _math
-        half_cells = ((opts.max_range + 2.0) * geo.scale
-                      + self.dcfg.radius_cells)
+        import os as _os
+        half_cells = int(_math.ceil((opts.max_range + 2.0) * geo.scale
+                                    + self.dcfg.radius_cells))
         wp = 2 * (int(_math.ceil(half_cells / geo.patch_length)) + 1)
+        ws = wp * geo.patch_length            # match window side (cells)
+        # resident window: the maps are FIXED, so the dense window needs no
+        # flush — re-gather from the pool only when the pose wanders out
+        # (same trick as Slam2D's resident path, minus the writeback).
+        # Wander rings sized like the slam default.
+        extra = int(_os.environ.get("IRIS_LOC_RESIDENT_EXTRA", "4"))
+        wp_res = wp + 2 * extra
+        w_res = wp_res * geo.patch_length
+        use_sq = (_os.environ.get("IRIS_LOC_SQ") == "1"
+                  or (gn_solve.ENABLED
+                      and jax.default_backend() == "tpu"))
 
-        def solve_and_cov(pose0, pts, msk):
-            # tracking solve on a dense window (pool probing per point is
-            # the slow path on TPU; the window costs one patch-level gather)
+        def gather_resident(anchor_cell):
             from ..sdm import window as win_mod
-            org = win_mod.window_org(geo, geo.w2m(pose0[:2]), wp)
-            keys = win_mod.window_patch_keys(geo, org, wp)
+            org = win_mod.window_org(geo, anchor_cell, wp_res)
+            keys = win_mod.window_patch_keys(geo, org, wp_res)
             grid, _ = win_mod.gather_window(maps.distance.table,
                                             maps.distance.dist, keys,
                                             max_dist)
-            # f32 meters window by default: at batch=1 on this 576-cell
-            # window the f32 interp path measured ~2x the s8 squared
-            # domain (interleaved bench_loc: f32 187/214 vs s8+select4
-            # 102/89 vs s8+jnp 67/121 up/s — the s8 ladder pays off only
-            # with a particle batch, PF, or when the whole-solve kernel
-            # owns the grid). IRIS_LOC_SQ=1 forces s8 for A/B.
-            import os as _os
-            use_sq = (_os.environ.get("IRIS_LOC_SQ") == "1"
-                      or (gn_solve.ENABLED
-                          and jax.default_backend() == "tpu"))
-            win = self.dcfg.dist_to_sq(grid) if use_sq else grid
-            eval_fn = match.make_window_eval(win, org, geo, max_dist,
+            # f32 meters window by default: at batch=1 the f32 interp path
+            # measured ~2x the s8 squared domain (bench_loc interleaved:
+            # f32 187/214 vs s8+select4 102/89 vs s8+jnp 67/121 up/s).
+            # IRIS_LOC_SQ=1 / the whole-solve kernel force s8.
+            return (self.dcfg.dist_to_sq(grid) if use_sq else grid), org
+
+        self._gather = jax.jit(gather_resident)
+
+        def solve_and_cov(pose0, pts, msk, win, org):
+            # slice the pose-centered match window out of the resident grid
+            # (containment: slice half = ws/2 >= half_cells, and the safe
+            # check keeps the clip from cutting into the probe reach)
+            lp = geo.w2m(pose0[:2]) - org
+            start = jnp.clip(lp - ws // 2, 0, w_res - ws)
+            sub = jax.lax.dynamic_slice(win, (start[1], start[0]), (ws, ws))
+            sub_org = org + start
+            eval_fn = match.make_window_eval(sub, sub_org, geo, max_dist,
                                              pts, msk)
             # routes to the whole-solve kernel / fused loop when enabled;
             # the generic branch is make_window_eval + nlls_solver.solve
-            res = match.solve_window(win, org, geo, max_dist, pts, msk,
+            res = match.solve_window(sub, sub_org, geo, max_dist, pts, msk,
                                      pose0, sopts)
             # one post-solve evaluation shared by covariance and RMSE
             # (was two identical evals — the field gathers dominate)
@@ -269,22 +286,39 @@ class Loc2D:
             rmse = jnp.sqrt(jnp.sum(r * r) / n)
             return res.state, cov, rmse
 
-        self._solve = jax.jit(solve_and_cov)
         self._gloc = jax.jit(lambda pts, msk, key: global_localization_kernel(
             maps, geo, max_dist, pts, msk, key, opts.gloc_particles))
 
         # one fused per-update program (remote dispatch is the Loc2D cost:
         # un-jitted compose/ring ops each pay a tunnel round trip)
-        def step(pose_dev, traj, n, odelta_arr, pts, msk, key, use_gloc):
+        def step(pose_dev, traj, n, odelta_arr, pts, msk, key, use_gloc,
+                 win, org):
             pose0 = lie.se2_compose(pose_dev, odelta_arr)
             if use_gloc:
                 pose0, _ = global_localization_kernel(
                     maps, geo, max_dist, pts, msk, key, opts.gloc_particles)
-            state, cov, rmse = solve_and_cov(pose0, pts, msk)
+            # re-gather the resident window when the (possibly relocalized)
+            # pose strays: the slice must stay unclipped beyond the probe
+            # reach, i.e. lp within [ws/2, w_res - ws/2) after clamping slop
+            lp = geo.w2m(pose0[:2]) - org
+            m = half_cells
+            safe = jnp.all((lp >= m) & (lp < w_res - m))
+            if _os.environ.get("IRIS_LOC_RESIDENT") == "0":
+                safe = jnp.bool_(False)   # A/B: re-gather every update
+            win, org = jax.lax.cond(
+                safe, lambda a: (win, org),
+                lambda a: gather_resident(geo.w2m(pose0[:2])), None)
+            state, cov, rmse = solve_and_cov(pose0, pts, msk, win, org)
             traj = traj.at[jnp.minimum(n, traj.shape[0] - 1)].set(state)
-            return state, cov, rmse, traj
+            return state, cov, rmse, traj, win, org
 
-        self._step = jax.jit(step, static_argnums=(7,), donate_argnums=(1,))
+        self._step = jax.jit(step, static_argnums=(7,),
+                             donate_argnums=(1, 8))
+        # sentinel origin far from any pose -> the first step re-gathers
+        self._org_dev = jnp.full((2,), 1 << 28, jnp.int32)
+        self._win_dev = jnp.zeros(
+            (w_res, w_res),
+            self.dcfg.sq_dtype if use_sq else jnp.float32)
 
         def rmse_only(pose0, pts, msk):
             eval_fn = match.make_pool_eval(maps.distance.table,
@@ -303,7 +337,7 @@ class Loc2D:
         opts = self.options
         if self._max_beams == 0:
             self._max_beams = beam_bucket(len(cloud.points))
-        if self._solve is None:
+        if self._step is None:
             self._build()
 
         points, mask, _ = pad_scan(cloud, self._max_beams)
@@ -336,10 +370,13 @@ class Loc2D:
             self.key, sub = jax.random.split(self.key)
 
         # one dispatch: compose prediction (loc2d.cpp:149-151), optional
-        # gloc hypothesis sweep, solve+cov+rmse, trajectory-ring append
-        state, cov, rmse, self._traj = self._step(
-            self._pose_dev, self._traj, np.int32(self._n_updates),
-            jnp.asarray(odelta.se2_array()), pts, msk, sub, use_gloc)
+        # gloc hypothesis sweep, resident-window re-gather when the pose
+        # strays, solve+cov+rmse, trajectory-ring append
+        state, cov, rmse, self._traj, self._win_dev, self._org_dev = \
+            self._step(self._pose_dev, self._traj,
+                       np.int32(self._n_updates),
+                       jnp.asarray(odelta.se2_array()), pts, msk, sub,
+                       use_gloc, self._win_dev, self._org_dev)
         self._pose_dev = state
         self._cov_dev = cov
         self._rmse_dev = rmse
