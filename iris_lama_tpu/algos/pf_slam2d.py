@@ -368,9 +368,16 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     idx, pose, weight, weight_sum, nw, neff, do_resample = \
         _weights_and_resample(opts, pset, key, states, liks)
     if not _DEBUG_NO_LINEAGE:
-        # pool maps: defer — compose the permutation (settled at re-org)
+        # pool maps: defer — compose the permutation (settled at re-org).
+        # The big resident-grid gathers only run on actual resamples
+        # (idx == arange otherwise, when the gather would copy ~180 MB of
+        # grids to produce identical arrays)
         lineage = lineage[idx]
-        occ, vis, dist = occ[idx], vis[idx], dist[idx]
+        occ, vis, dist = jax.lax.cond(
+            do_resample,
+            lambda ovd: tuple(a[idx] for a in ovd),
+            lambda ovd: ovd,
+            (occ, vis, dist))
 
     # 5. per-particle map update — elementwise on the resident grids
     def upd(o, v, d, p):
