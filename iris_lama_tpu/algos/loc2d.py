@@ -241,7 +241,10 @@ class Loc2D:
         # resident window: the maps are FIXED, so the dense window needs no
         # flush — re-gather from the pool only when the pose wanders out
         # (same trick as Slam2D's resident path, minus the writeback).
-        # Wander rings sized like the slam default.
+        # Measured a TIE on bench_loc (107/125/133 resident vs 123/120/126
+        # re-gather — the f32 row gather was never the cost at this map
+        # size); kept because it is free and the gather share grows with
+        # map/window size. Wander rings sized like the slam default.
         extra = int(_os.environ.get("IRIS_LOC_RESIDENT_EXTRA", "4"))
         wp_res = wp + 2 * extra
         w_res = wp_res * geo.patch_length
