@@ -158,7 +158,15 @@ class GraphSlam2D:
             err = rmse_window(grid, org, pts, msk, res.state)
             return res.state, err
 
+        # All candidates verify in ONE device program (the reference loops
+        # host-side, graph_slam2d.cpp:248-273; on the tunnel every dispatch
+        # + result pull costs ms — vmapping the dual-hypothesis correlation
+        # over the candidate axis turns up-to-5 dispatches and 5 host syncs
+        # into one of each, the same move gloc uses for its 3000
+        # hypotheses). Padded to a fixed K so the program compiles once.
         self._jit_correlate = jax.jit(correlate)
+        self._jit_correlate_batch = jax.jit(
+            jax.vmap(correlate, in_axes=(None, 0, 0, 0, 0)))
 
         # ---- coarse fallback: throwaway 0.25 m field (cpp:357-392) --------
         coarse_res = 0.25
@@ -254,9 +262,15 @@ class GraphSlam2D:
 
         candidates = self._find_candidates(query.xy(), radius, query_id)
 
+        # all candidates verify in ONE device dispatch + one result pull
+        # (states [K,4], errs [K]); acceptance order is the reference's:
+        # fine(0), coarse(0) if fine(0) failed, fine(1), fine(2), ...
+        # (graph_slam2d.cpp:248-273 with the rank-0-only coarse fallback)
+        states, errs = self._correlate_all(query_id, candidates)
+
         accepted = False
         for rank, cand_id in enumerate(candidates):
-            state, err = self._correlate(query_id, cand_id)
+            state, err = states[rank], errs[rank]
             if err > opts.loop_closure_scan_rmse:
                 if rank == 0:
                     state, err = self._coarse_correlate(query_id, cand_id)
@@ -310,6 +324,32 @@ class GraphSlam2D:
             self.slam.map, _se2(cand_pose), _se2(hypo1),
             jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask))
         return state, float(err)
+
+    def _correlate_all(self, query_id, cand_ids):
+        """Dual-hypothesis verification of every candidate, vmapped into a
+        single device program (padded to loop_max_candidates so it compiles
+        once). Returns (states [K, 4] np, errs [K] list of float)."""
+        if not cand_ids:
+            return np.zeros((0, 4), np.float32), []
+        k_max = self.options.loop_max_candidates
+        inv_corr = self.correction.inverse()
+        ref_pose = inv_corr + self.key_poses[query_id].pose
+        cand_poses, hypos, pts, msks = [], [], [], []
+        for cid in (list(cand_ids) + [cand_ids[0]] * k_max)[:k_max]:
+            cand_pose = inv_corr + self.key_poses[cid].pose
+            cand_poses.append(cand_pose.se2_array())
+            hypos.append(Pose2D(ref_pose.x(), ref_pose.y(),
+                                cand_pose.rotation()).se2_array())
+            pts.append(self.key_poses[cid].points[:, :2])
+            msks.append(self.key_poses[cid].mask)
+        states, errs = self._jit_correlate_batch(
+            self.slam.map,
+            jnp.asarray(np.stack(cand_poses), jnp.float32),
+            jnp.asarray(np.stack(hypos), jnp.float32),
+            jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
+        states = np.asarray(states)[:len(cand_ids)]
+        errs = [float(e) for e in np.asarray(errs)[:len(cand_ids)]]
+        return states, errs
 
     def _coarse_correlate(self, query_id, cand_id):
         inv_corr = self.correction.inverse()

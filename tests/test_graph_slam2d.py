@@ -37,8 +37,8 @@ def test_graph_slam_loop():
     assert len(gs.key_poses) > 20, len(gs.key_poses)
     ate = ate_rmse(np.asarray(est), np.asarray(gt))
     # transient front end + loop corrections (0.083 m measured post
-    # correction-frame fix; margin for seed sensitivity)
-    assert ate < 0.2, (ate, len(gs.links))
+    # correction-frame fix; bound tight enough to catch a 20% regression)
+    assert ate < 0.1, (ate, len(gs.links))
     assert len(gs.links) >= 1, "no loop closures accepted"
 
     # key-pose chain covers the trajectory
