@@ -1,0 +1,161 @@
+"""Run every algorithm on the synthetic long-corridor figure-8 world.
+
+The corridor world (utils/simulator.py:corridor_world) is the best
+available stand-in for the MIT-Killian/Intel-long-log regime while the
+real CARMEN logs are unobtainable in this image: ~550 m of 3 m-wide
+corridor in two nested loops, sparse longitudinal texture, large loop
+closures. Prints one JSON line per algorithm:
+  {"algo", "scans_per_sec", "ate_m"| "final_err_m", ...}
+
+Usage:
+  python examples/run_long_world.py [--steps 3000] [--beams 720]
+      [--algos slam2d,graph_slam] [--platform cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--beams", type=int, default=720)
+    ap.add_argument("--resolution", type=float, default=0.05)
+    ap.add_argument("--algos", default="slam2d,graph_slam,pf_slam,loc2d")
+    ap.add_argument("--particles", type=int, default=30)
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from iris_lama_tpu.core.pose import Pose2D
+    from iris_lama_tpu.utils import simulator
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+    from iris_lama_tpu.utils.evaluation import ate_rmse
+
+    data = simulator.simulate(simulator.SimConfig(
+        n_steps=args.steps, seed=args.seed, world="corridor",
+        laser=simulator.LaserSpec(n_beams=args.beams, max_range=10.0),
+        odom_trans_noise=0.01, odom_rot_noise=0.002))
+    nb = beam_bucket(args.beams)
+    staged = []
+    for k in range(args.steps):
+        p, m, o = pad_scan(data.clouds[k], nb)
+        staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
+    jax.block_until_ready(staged[-1][0])
+    odoms = list(data.odometry)
+
+    def report(algo, sps, err_name, err, extra=None):
+        print(json.dumps({"algo": algo, "scans_per_sec": round(sps, 2),
+                          err_name: round(err, 4),
+                          **(extra or {})}), flush=True)
+
+    algos = args.algos.split(",")
+
+    slam_traj = None
+    if "slam2d" in algos or "loc2d" in algos:
+        from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
+        opts = Slam2DOptions(resolution=args.resolution, max_range=10.0,
+                             trans_thresh=0.25, rot_thresh=0.25,
+                             capacity=32768)
+        slam = Slam2D(opts)
+        slam.set_prior(Pose2D(*data.poses_gt[0]))
+        t0 = time.perf_counter()
+        accepted = slam.update_many_prepadded(staged, odoms)
+        jax.block_until_ready(slam._pose_dev)
+        dt = time.perf_counter() - t0
+        est = slam.trajectory()
+        gt = np.asarray([data.poses_gt[k] for k in accepted])
+        ate = ate_rmse(est, gt)
+        if "slam2d" in algos:
+            report("slam2d", len(accepted) / dt, "ate_m", ate,
+                   {"updates": len(accepted),
+                    "patches": int(np.asarray(
+                        slam.map.table.num_patches()))})
+        slam_for_loc = slam
+
+    if "graph_slam" in algos:
+        from iris_lama_tpu.algos.graph_slam2d import (GraphSlam2D,
+                                                      GraphSlam2DOptions)
+        from iris_lama_tpu.algos.slam2d import Slam2DOptions
+        gopts = GraphSlam2DOptions(
+            slam=Slam2DOptions(resolution=args.resolution, max_range=10.0,
+                               trans_thresh=0.25, rot_thresh=0.25,
+                               capacity=8192, transient_map=True),
+            key_pose_head_delay=3, ignore_n_chain_poses=15,
+            loop_closure_scan_rmse=0.12)
+        gs = GraphSlam2D(gopts)
+        gs.set_prior(Pose2D(*data.poses_gt[0]))
+        corrections, gt = [], []
+        t0 = time.perf_counter()
+        for k in range(args.steps):
+            if gs.update(data.clouds[k], data.odometry[k],
+                         data.timestamps[k]):
+                corrections.append(gs.correction)
+                gt.append(data.poses_gt[k])
+        jax.block_until_ready(gs.slam._pose_dev)
+        dt = time.perf_counter() - t0
+        raw = gs.slam.trajectory()
+        est = np.asarray([(c + Pose2D(*r)).xyr()
+                          for c, r in zip(corrections, raw)])
+        # final-frame ATE: all key poses in the last optimized frame
+        kp_est = np.asarray([kp.pose.xyr() for kp in gs.key_poses])
+        kp_t = [kp.timestamp for kp in gs.key_poses]
+        kp_gt = np.asarray([data.poses_gt[int(round(t / 0.1))]
+                            for t in kp_t])
+        report("graph_slam", len(gt) / dt, "ate_m",
+               ate_rmse(est, np.asarray(gt)),
+               {"key_poses": len(gs.key_poses),
+                "loop_closures": len(gs.links),
+                "ate_keyposes_final_m": round(ate_rmse(kp_est, kp_gt), 4)})
+
+    if "pf_slam" in algos:
+        from iris_lama_tpu.algos.pf_slam2d import PFSlam2D, PFSlam2DOptions
+        popts = PFSlam2DOptions(particles=args.particles,
+                                resolution=args.resolution, max_range=10.0,
+                                trans_thresh=0.25, rot_thresh=0.25,
+                                capacity=8192, max_iter=50, seed=11)
+        pf = PFSlam2D(popts)
+        pf.set_prior(Pose2D(*data.poses_gt[0]))
+        t0 = time.perf_counter()
+        accepted = pf.update_many_prepadded(staged, odoms)
+        jax.block_until_ready(pf.pset.pose)
+        dt = time.perf_counter() - t0
+        err = float(np.linalg.norm(
+            pf.pose().xy() - data.poses_gt[accepted[-1]][:2]))
+        report("pf_slam", len(accepted) / dt, "final_err_m", err,
+               {"updates": len(accepted), "particles": args.particles})
+
+    if "loc2d" in algos:
+        from iris_lama_tpu.algos.loc2d import (Loc2D, Loc2DOptions,
+                                               maps_from_slam)
+        maps = maps_from_slam(slam_for_loc.map, slam_for_loc.cfg)
+        loc = Loc2D(Loc2DOptions(resolution=args.resolution, l2_max=0.5,
+                                 max_range=10.0, trans_thresh=0.1,
+                                 rot_thresh=0.1), maps=maps)
+        loc.set_prior(Pose2D(*data.poses_gt[0]))
+        staged_loc = [(p[:, :2], m) for p, m, _ in staged]
+        t0 = time.perf_counter()
+        accepted = loc.update_many_prepadded(staged_loc, odoms)
+        jax.block_until_ready(loc._pose_dev)
+        dt = time.perf_counter() - t0
+        est = loc.trajectory()
+        gt = np.asarray([data.poses_gt[k] for k in accepted])
+        errs = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
+        report("loc2d", len(accepted) / dt, "mean_err_m",
+               float(np.mean(errs)), {"updates": len(accepted)})
+
+
+if __name__ == "__main__":
+    main()

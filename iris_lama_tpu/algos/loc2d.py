@@ -192,6 +192,7 @@ class Loc2D:
         self._samp_cov = None
         self._rmse = None
         self._step = None
+        self._chunk = None
 
     def set_maps(self, maps: LocMaps) -> None:
         self.maps = maps
@@ -317,6 +318,43 @@ class Loc2D:
 
         self._step = jax.jit(step, static_argnums=(7,),
                              donate_argnums=(1, 8))
+
+        def chunk_step(pose, cov, rmse, traj, k0, win, org, odeltas, ptss,
+                       msks, dos):
+            """C gated localization updates in one device program
+            (lax.scan). Loc2D is dispatch-bound on a remote tunnel — the
+            solve converges in 2-3 IRLS iterations (prof_loc_iters), so
+            the ~1-3 ms per-dispatch latency dominates the ~2 ms device
+            work; chunking amortizes it. ``dos`` masks padded entries."""
+            def body(carry, inp):
+                odelta, pts, msk, do = inp
+
+                def run(args):
+                    pose, win, org, _cov, _rmse = args
+                    pose0 = lie.se2_compose(pose, odelta)
+                    lp = geo.w2m(pose0[:2]) - org
+                    m = half_cells
+                    safe = jnp.all((lp >= m) & (lp < w_res - m))
+                    win2, org2 = jax.lax.cond(
+                        safe, lambda a: (win, org),
+                        lambda a: gather_resident(geo.w2m(pose0[:2])),
+                        None)
+                    state, cov, rmse = solve_and_cov(pose0, pts, msk, win2,
+                                                     org2)
+                    return (state, win2, org2, cov, rmse)
+
+                carry = jax.lax.cond(do, run, lambda a: a, carry)
+                return carry, carry[0]
+
+            carry0 = (pose, win, org, cov, rmse)
+            (pose, win, org, cov, rmse), poses = jax.lax.scan(
+                body, carry0, (odeltas, ptss, msks, dos))
+            k0 = jnp.minimum(k0, traj.shape[0] - poses.shape[0])
+            traj = jax.lax.dynamic_update_slice(traj, poses,
+                                                (k0, jnp.int32(0)))
+            return pose, cov, rmse, traj, win, org
+
+        self._chunk = jax.jit(chunk_step, donate_argnums=(3, 6))
         # sentinel origin far from any pose -> the first step re-gathers
         self._org_dev = jnp.full((2,), 1 << 28, jnp.int32)
         self._win_dev = jnp.zeros(
@@ -407,3 +445,59 @@ class Loc2D:
     def _enough_motion(self, odelta: Pose2D) -> bool:
         return not (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh
                     and abs(odelta.rotation()) <= self.options.rot_thresh)
+
+    def update_many_prepadded(self, staged, odoms, chunk: int = 32) -> list:
+        """Replay a pre-staged offline log with one device dispatch per
+        ``chunk`` accepted scans (see Slam2D.update_many_prepadded — same
+        contract; ``staged`` holds (points_xy f32[B, 2], mask bool[B])
+        device arrays). Global localization and covariance blending use
+        data-dependent host control flow and are served by the per-scan
+        path; this method asserts they are off. Returns accepted indices.
+        """
+        assert self.maps is not None
+        assert not self.do_global_localization and \
+            self.options.cov_blend == 0.0
+        if self._step is None:
+            self._max_beams = staged[0][0].shape[0]
+            self._build()
+        start = 0
+        accepted = []
+        if not self.has_first_scan:
+            self.odom_ = odoms[0]
+            self.has_first_scan = True
+            start = 1
+
+        pend = []
+
+        def flush_chunk():
+            nonlocal pend
+            n_real = len(pend)
+            if n_real == 0:
+                return
+            while len(pend) < chunk:
+                pend.append(pend[-1])
+            od = jnp.asarray(np.stack([p[0] for p in pend]))
+            pts = jnp.stack([p[1] for p in pend])
+            msk = jnp.stack([p[2] for p in pend])
+            dos = jnp.asarray(np.arange(chunk) < n_real)
+            (self._pose_dev, self._cov_dev, self._rmse_dev, self._traj,
+             self._win_dev, self._org_dev) = self._chunk(
+                self._pose_dev, self._cov_dev, self._rmse_dev, self._traj,
+                jnp.int32(self._n_updates), self._win_dev, self._org_dev,
+                od, pts, msk, dos)
+            self._pose_host = self._cov_host = self._rmse_host = None
+            self._n_updates += n_real
+            pend = []
+
+        for k in range(start, len(staged)):
+            odelta = self.odom_ - odoms[k]
+            if not self._enough_motion(odelta):
+                continue
+            self.odom_ = odoms[k]
+            pend.append((odelta.se2_array().astype(np.float32),)
+                        + tuple(staged[k]))
+            accepted.append(k)
+            if len(pend) == chunk:
+                flush_chunk()
+        flush_chunk()
+        return accepted

@@ -399,6 +399,47 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     return new_set, info
 
 
+def pf_chunk_step(opts: PFSlam2DOptions, pset: ParticleSet, key, odeltas,
+                  points, masks, origins, dos, valids):
+    """C scans of the PF in ONE device program (`lax.scan`).
+
+    Mirrors the sequential driver exactly: motion sampling runs for every
+    scan (the reference calls drawFromMotion per odometry packet,
+    pf_slam2d.cpp:234-236), the full update runs only where the host-side
+    motion gate fired (``dos``). The PRNG key evolves with the same split
+    sequence as the per-scan programs, so the chunked replay is
+    reproducible like Options::seed. On a remote-TPU tunnel the sequential
+    driver pays ~4 dispatches per accepted update (motion per scan +
+    update); this pays 1 per C scans."""
+    def body(carry, inp):
+        od, pts, msk, org, do, valid = inp
+
+        def scan_body(args):
+            pset, key = args
+            k1, key = jax.random.split(key)
+            pset = pset._replace(
+                pose=draw_from_motion(opts, k1, od, pset.pose))
+
+            def run(args):
+                pset, key = args
+                k1, k2 = jax.random.split(key)
+                new_pset, _ = pf_update_step(opts, pset, k1, pts, msk, org)
+                return new_pset, k2
+
+            return jax.lax.cond(do, run, lambda a: a, (pset, key))
+
+        # padded tail entries are fully inert — they must not consume a
+        # PRNG split, or a later per-scan/chunked call would desynchronize
+        # from the sequential driver's key stream
+        carry = jax.lax.cond(valid, scan_body, lambda a: a, carry)
+        return carry, None
+
+    (pset, key), _ = jax.lax.scan(
+        body, (pset, key), (odeltas, points, masks, origins, dos, valids))
+    info = {"overflow": jnp.max(pset.maps.table.overflow)}
+    return pset, key, info
+
+
 def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
                   origin):
     """First scan: build particle 0's map and share it (pf_slam2d.cpp:185-228
@@ -450,6 +491,7 @@ class PFSlam2D:
         self._jit_motion = None
         self._jit_first = None
         self._jit_flush_one = None
+        self._jit_chunk = None
 
     def set_prior(self, prior: Pose2D) -> None:
         self.pose_prior = prior
@@ -474,6 +516,10 @@ class PFSlam2D:
         self._jit_first = jax.jit(
             lambda pset, pts, msk, org: pf_first_step(opts, pset, pts, msk,
                                                       org),
+            donate_argnums=(0,))
+        self._jit_chunk = jax.jit(
+            lambda pset, key, od, pts, msk, org, dos, valids: pf_chunk_step(
+                opts, pset, key, od, pts, msk, org, dos, valids),
             donate_argnums=(0,))
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
@@ -527,6 +573,66 @@ class PFSlam2D:
             self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
                                memory=self.memory_usage())
         return True
+
+    def update_many_prepadded(self, staged, odoms, chunk: int = 8) -> list:
+        """Replay a pre-staged offline log, one device dispatch per
+        ``chunk`` scans (every scan does motion sampling; gated scans run
+        the full update — exactly the per-scan driver's behavior,
+        including the PRNG split sequence). ``staged`` holds
+        (points, mask, origin) device arrays. Returns accepted indices."""
+        opts = self.options
+        if self._max_beams == 0:
+            self._max_beams = staged[0][0].shape[0]
+        if self._jit_update is None:
+            self._build()
+        start = 0
+        accepted = []
+        if not self.has_first_scan:
+            self.odom_ = odoms[0]
+            self.pset = particles_init(opts, jnp.asarray(
+                self.pose_prior.se2_array()))
+            self.pset = self._jit_first(self.pset, *staged[0])
+            self.has_first_scan = True
+            start = 1
+            accepted.append(0)
+
+        pend = []
+
+        def flush_chunk():
+            nonlocal pend
+            if not pend:
+                return
+            while len(pend) < chunk:   # inert padding (valid=False)
+                pend.append((np.array([0, 0, 1, 0], np.float32),)
+                            + pend[-1][1:4] + (False, False))
+            od = jnp.asarray(np.stack([p[0] for p in pend]))
+            pts = jnp.stack([p[1] for p in pend])
+            msk = jnp.stack([p[2] for p in pend])
+            org = jnp.stack([p[3] for p in pend])
+            dos = jnp.asarray(np.array([p[4] for p in pend]))
+            valids = jnp.asarray(np.array([p[5] for p in pend]))
+            self.pset, self.key, info = self._jit_chunk(
+                self.pset, self.key, od, pts, msk, org, dos, valids)
+            self._last_info_dev = info
+            pend = []
+
+        for k in range(start, len(staged)):
+            odelta = self.odom_ - odoms[k]
+            self.odom_ = odoms[k]
+            self.acc_trans += float(np.linalg.norm(odelta.xy()))
+            self.acc_rot += abs(odelta.rotation())
+            do = (self.acc_trans > opts.trans_thresh or
+                  self.acc_rot > opts.rot_thresh)
+            if do:
+                self.acc_trans = 0.0
+                self.acc_rot = 0.0
+                accepted.append(k)
+            pend.append((odelta.se2_array().astype(np.float32),)
+                        + tuple(staged[k]) + (do, True))
+            if len(pend) == chunk:
+                flush_chunk()
+        flush_chunk()
+        return accepted
 
     @property
     def _last_info(self):

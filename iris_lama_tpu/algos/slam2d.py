@@ -155,8 +155,8 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
     w_res = cfg.resident_window_cells
     ws_m = cfg.match_window_cells
 
-    def step(state, org, occ, vis, dist, pose_prev, odelta, points, mask,
-             origin, traj, k):
+    def raw_step(state, org, occ, vis, dist, pose_prev, odelta, points,
+                 mask, origin):
         pose0 = lie.se2_compose(pose_prev, odelta)
         p0cell = geo.w2m(pose0[:2])
         safe = mapping.resident_safe(cfg, org, p0cell)
@@ -183,7 +183,6 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
 
         occ, vis, dist, n_cells = mapping.resident_update(
             cfg, org, occ, vis, dist, res.state, points, mask, origin)
-        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)
         info = {"iterations": res.iterations, "chi2": res.chi2,
                 "processed_cells": n_cells,
                 "num_patches": state.table.num_patches(),
@@ -191,7 +190,48 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
                 "reorged": ~safe,
                 "escaped": ~mapping.resident_safe(cfg, org,
                                                   geo.w2m(res.state[:2]))}
-        return state, org, occ, vis, dist, res.state, traj, info
+        return state, org, occ, vis, dist, res.state, info
+
+    def step(state, org, occ, vis, dist, pose_prev, odelta, points, mask,
+             origin, traj, k):
+        state, org, occ, vis, dist, new_pose, info = raw_step(
+            state, org, occ, vis, dist, pose_prev, odelta, points, mask,
+            origin)
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(new_pose)
+        return state, org, occ, vis, dist, new_pose, traj, info
+
+    def chunk_step(state, org, occ, vis, dist, pose, traj, k0, odeltas,
+                   points, masks, origins, dos):
+        """C gated scan updates in ONE device program (`lax.scan` over the
+        staged chunk). On a remote-TPU tunnel every dispatch costs ~1-3 ms
+        — comparable to the whole per-scan device time — so offline-log
+        replay is dispatch-bound unless updates are batched. ``dos`` masks
+        padded tail entries (host gates on odometry exactly like the
+        per-scan driver, so accepted-scan semantics are identical)."""
+        def body(carry, inp):
+            odelta, pts, msk, orgn, do = inp
+
+            def run(args):
+                state, org, occ, vis, dist, pose = args
+                state, org, occ, vis, dist, pose, _ = raw_step(
+                    state, org, occ, vis, dist, pose, odelta, pts, msk,
+                    orgn)
+                return (state, org, occ, vis, dist, pose)
+
+            if os.environ.get("IRIS_CHUNK_NO_COND") == "1":
+                carry = run(carry)      # probe: measure the cond's cost
+            else:
+                carry = jax.lax.cond(do, run, lambda a: a, carry)
+            return carry, carry[5]
+
+        (state, org, occ, vis, dist, pose), poses = jax.lax.scan(
+            body, (state, org, occ, vis, dist, pose),
+            (odeltas, points, masks, origins, dos))
+        k0 = jnp.minimum(k0, traj.shape[0] - poses.shape[0])
+        traj = jax.lax.dynamic_update_slice(traj, poses, (k0, jnp.int32(0)))
+        info = {"num_patches": state.table.num_patches(),
+                "overflow": state.table.overflow}
+        return state, org, occ, vis, dist, pose, traj, info
 
     def first_step(org, occ, vis, dist, pose0, points, mask, origin):
         occ, vis, dist, _ = mapping.resident_update(
@@ -203,7 +243,8 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
 
     return (jax.jit(step, donate_argnums=(0, 2, 3, 4, 10)),
             jax.jit(first_step, donate_argnums=(1, 2, 3)),
-            jax.jit(flush, donate_argnums=(0,)))
+            jax.jit(flush, donate_argnums=(0,)),
+            jax.jit(chunk_step, donate_argnums=(0, 2, 3, 4, 6)))
 
 
 class Slam2D:
@@ -404,10 +445,84 @@ class Slam2D:
 
     def _build_programs(self) -> None:
         if self._resident:
-            self._step, self._first, self._flush = _make_step_resident(
-                self.cfg, self.sopts)
+            (self._step, self._first, self._flush,
+             self._chunk) = _make_step_resident(self.cfg, self.sopts)
         else:
             self._step, self._first = _make_step(self.cfg, self.sopts)
+            self._chunk = None
+
+    def update_many_prepadded(self, staged, odoms,
+                              chunk: int = 32) -> list:
+        """Replay a pre-staged offline log with one device dispatch per
+        ``chunk`` accepted scans (resident path only; falls back to the
+        per-scan loop otherwise).
+
+        ``staged`` is a list of (points, mask, origin) device arrays (see
+        :func:`iris_lama_tpu.utils.cloud.pad_scan`), ``odoms`` the matching
+        odometry poses. The motion gate runs on host exactly like
+        :meth:`update` (it only reads odometry), so the set of accepted
+        scans — and their odometry deltas — is identical to the sequential
+        driver; the device program then chains the accepted updates with
+        ``lax.scan`` (reference per-scan loop: src/slam2d.cpp:143-198).
+        Returns the list of accepted scan indices.
+        """
+        start = 0
+        accepted = []
+        if not self.has_first_scan:
+            p, m, o = staged[0]
+            if self._step is None:
+                self._max_beams = p.shape[0]
+                self._build_programs()
+            self.odom_ = odoms[0]
+            self._do_first(p, m, o)
+            start = 1
+            accepted.append(0)
+        if not self._resident or self._chunk is None:
+            for k in range(start, len(staged)):
+                if self.update_prepadded(*staged[k], odoms[k]):
+                    accepted.append(k)
+            return accepted
+
+        pend = []   # accepted (odelta, points, mask, origin)
+
+        def flush_chunk():
+            nonlocal pend
+            n_real = len(pend)
+            if n_real == 0:
+                return
+            while len(pend) < chunk:           # pad tail with no-ops
+                pend.append(pend[-1])
+            od = jnp.asarray(np.stack([p[0] for p in pend]))
+            pts = jnp.stack([p[1] for p in pend])
+            msk = jnp.stack([p[2] for p in pend])
+            org = jnp.stack([p[3] for p in pend])
+            dos = jnp.asarray(np.arange(chunk) < n_real)
+            (self._map, self._res_org, self._res_occ, self._res_vis,
+             self._res_dist, self._pose_dev, self._traj,
+             info) = self._chunk(
+                self._map, self._res_org, self._res_occ, self._res_vis,
+                self._res_dist, self._pose_dev, self._traj,
+                jnp.int32(self._n_updates), od, pts, msk, org, dos)
+            self._res_dirty = True
+            self._pose_host = None
+            self._last_info_dev = info
+            self._n_updates += n_real
+            pend = []
+
+        for k in range(start, len(staged)):
+            odelta = self.odom_ - odoms[k]
+            if (np.linalg.norm(odelta.xy()) <= self.options.trans_thresh
+                    and abs(odelta.rotation()) <=
+                    self.options.rot_thresh):
+                continue
+            self.odom_ = odoms[k]
+            pend.append((odelta.se2_array().astype(np.float32),)
+                        + tuple(staged[k]))
+            accepted.append(k)
+            if len(pend) == chunk:
+                flush_chunk()
+        flush_chunk()
+        return accepted
 
     def full_map(self) -> mapping.SlamMapState:
         """The complete map for IO/export: with the spill tier active this

@@ -53,14 +53,8 @@ def office_world(seed: int = 0) -> np.ndarray:
     return np.asarray(segs, np.float64)
 
 
-def loop_trajectory(n_steps: int = 400) -> np.ndarray:
-    """Ground-truth poses [N, 3] around the office loop."""
-    waypoints = np.array([
-        [2.0, 2.0], [13.0, 2.0], [15.0, 8.0], [15.0, 10.5], [17.0, 11.0],
-        [28.0, 10.5], [28.0, 18.0], [17.0, 18.0], [15.0, 12.0], [13.0, 10.5],
-        [2.0, 10.0], [2.0, 2.5],
-    ])
-    # resample along the polyline
+def _poly_trajectory(waypoints: np.ndarray, n_steps: int) -> np.ndarray:
+    """Resample a polyline into [N, 3] poses with tangent headings."""
     d = np.linalg.norm(np.diff(waypoints, axis=0), axis=1)
     s = np.concatenate([[0], np.cumsum(d)])
     t = np.linspace(0, s[-1], n_steps)
@@ -68,6 +62,74 @@ def loop_trajectory(n_steps: int = 400) -> np.ndarray:
     heading = np.arctan2(*np.diff(xy, axis=0, append=xy[-1:] + 1e-9).T[::-1])
     heading[-1] = heading[-2]
     return np.concatenate([xy, heading[:, None]], -1)
+
+
+def loop_trajectory(n_steps: int = 400) -> np.ndarray:
+    """Ground-truth poses [N, 3] around the office loop."""
+    waypoints = np.array([
+        [2.0, 2.0], [13.0, 2.0], [15.0, 8.0], [15.0, 10.5], [17.0, 11.0],
+        [28.0, 10.5], [28.0, 18.0], [17.0, 18.0], [15.0, 12.0], [13.0, 10.5],
+        [2.0, 10.0], [2.0, 2.5],
+    ])
+    return _poly_trajectory(waypoints, n_steps)
+
+
+def corridor_world(seed: int = 0, width: float = 120.0, height: float = 60.0,
+                   cw: float = 3.0) -> np.ndarray:
+    """Long-corridor figure-8 world (the MIT-Killian-court regime: hundreds
+    of meters of near-featureless corridor, two nested loops sharing a
+    middle leg). ``cw`` is the corridor width; small wall alcoves and
+    pillars every few meters provide the longitudinal texture real
+    buildings have (doorways, radiators) — without them a corridor is
+    unobservable along its axis for any scan matcher."""
+    segs: List[Tuple[float, float, float, float]] = []
+
+    def box(x0, y0, x1, y1):
+        segs.extend([(x0, y0, x1, y0), (x1, y0, x1, y1),
+                     (x1, y1, x0, y1), (x0, y1, x0, y0)])
+
+    mid = width / 2.0
+    box(0, 0, width, height)                                   # outer shell
+    box(cw, cw, mid - cw / 2, height - cw)                     # left block
+    box(mid + cw / 2, cw, width - cw, height - cw)             # right block
+
+    rng = np.random.default_rng(seed)
+    # pillars along the outer ring + the middle corridor (alternating sides)
+    def pillars_along(x0, y0, x1, y1, spacing=7.0):
+        n = int(np.hypot(x1 - x0, y1 - y0) / spacing)
+        ux, uy = (x1 - x0), (y1 - y0)
+        L = np.hypot(ux, uy)
+        ux, uy = ux / L, uy / L
+        nx, ny = -uy, ux
+        for i in range(1, n):
+            t = i * spacing + rng.uniform(-1.0, 1.0)
+            side = 1.0 if i % 2 == 0 else -1.0
+            cx = x0 + ux * t + nx * side * (cw / 2 - 0.35)
+            cy = y0 + uy * t + ny * side * (cw / 2 - 0.35)
+            s = rng.uniform(0.15, 0.3)
+            box(cx, cy, cx + s, cy + s)
+
+    h = cw / 2
+    pillars_along(h, h, width - h, h)
+    pillars_along(width - h, h, width - h, height - h)
+    pillars_along(width - h, height - h, h, height - h)
+    pillars_along(h, height - h, h, h)
+    pillars_along(mid, h, mid, height - h, spacing=6.0)
+    return np.asarray(segs, np.float64)
+
+
+def corridor_trajectory(n_steps: int = 3000, width: float = 120.0,
+                        height: float = 60.0, cw: float = 3.0) -> np.ndarray:
+    """Figure-8 route over :func:`corridor_world`: right loop, left loop,
+    then a partial revisit — multiple large loop closures, ~550 m total."""
+    h = cw / 2
+    mid = width / 2.0
+    w_, h_ = width - h, height - h
+    waypoints = np.array([
+        [2.0, h], [mid, h], [w_, h], [w_, h_], [mid, h_], [mid, h],
+        [h, h], [h, h_], [mid, h_], [mid, h], [w_ * 0.75, h],
+    ])
+    return _poly_trajectory(waypoints, n_steps)
 
 
 def cast_scan(segments: np.ndarray, pose_xyr: np.ndarray,
@@ -102,6 +164,7 @@ class SimConfig:
     odom_trans_noise: float = 0.01   # per-step sigma (m)
     odom_rot_noise: float = 0.002    # per-step sigma (rad)
     range_noise: float = 0.01        # lidar range sigma (m)
+    world: str = "office"            # "office" | "corridor"
 
 
 @dataclasses.dataclass
@@ -114,8 +177,12 @@ class SimData:
 
 def simulate(cfg: SimConfig = SimConfig()) -> SimData:
     rng = np.random.default_rng(cfg.seed)
-    segs = office_world(cfg.seed)
-    gt = loop_trajectory(cfg.n_steps)
+    if cfg.world == "corridor":
+        segs = corridor_world(cfg.seed)
+        gt = corridor_trajectory(cfg.n_steps)
+    else:
+        segs = office_world(cfg.seed)
+        gt = loop_trajectory(cfg.n_steps)
     spec = cfg.laser
     beam_angles = np.linspace(-spec.fov / 2, spec.fov / 2, spec.n_beams)
 

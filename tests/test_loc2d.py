@@ -50,6 +50,47 @@ def test_loc2d_tracks_on_prebuilt_map():
     assert np.all(np.linalg.eigvalsh(cov[:2, :2]) > 0)
 
 
+def test_loc2d_update_many_matches_sequential():
+    """The chunked offline-log replay (one lax.scan dispatch per chunk)
+    must match the per-scan driver exactly: same accepted scans, same
+    trajectory, same final pose/cov/rmse."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
+    data = _sim()
+    n_map = 60
+    slam = build_map(data, n_map)
+    maps = maps_from_slam(slam.map, slam.cfg)
+    opts = Loc2DOptions(resolution=0.1, patch_size=16, l2_max=0.5,
+                        trans_thresh=0.2, rot_thresh=0.2, max_range=8.0)
+
+    nb = beam_bucket(120)
+    staged = []
+    for k in range(n_map):
+        p, m, _ = pad_scan(data.clouds[k], nb)
+        staged.append((jnp.asarray(p[:, :2]), jnp.asarray(m)))
+
+    a = Loc2D(opts, maps=maps)
+    a.set_prior(Pose2D(*data.poses_gt[0]))
+    n_seq = 0
+    for k in range(n_map):
+        n_seq += bool(a.update(data.clouds[k], data.odometry[k],
+                               data.timestamps[k]))
+
+    b = Loc2D(opts, maps=maps)
+    b.set_prior(Pose2D(*data.poses_gt[0]))
+    accepted = b.update_many_prepadded(staged, list(data.odometry),
+                                       chunk=8)
+
+    # sequential counts the first scan as handled (returns True, no solve)
+    assert n_seq == len(accepted) + 1
+    np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a._pose_dev),
+                               np.asarray(b._pose_dev), atol=1e-6)
+    np.testing.assert_allclose(a.covariance(), b.covariance(), atol=1e-8)
+    assert abs(a.rmse() - b.rmse()) < 1e-6
+
+
 def test_loc2d_global_localization_recovers():
     data = _sim()
     n_map = 100

@@ -74,6 +74,45 @@ def test_pf_resampling_happens():
     assert resampled
 
 
+def test_pf_update_many_matches_sequential():
+    """The chunked offline-log replay (one lax.scan dispatch per chunk,
+    motion every scan + gated updates, same PRNG split sequence) must
+    reproduce the sequential driver exactly."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
+    data = _sim(n_steps=40)
+    opts = _opts(seed=123, trans_thresh=0.25, rot_thresh=0.25)
+    nb = beam_bucket(120)
+    staged = []
+    for k in range(len(data.clouds)):
+        p, m, o = pad_scan(data.clouds[k], nb)
+        staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
+
+    a = pf.PFSlam2D(opts)
+    a.set_prior(Pose2D(*data.poses_gt[0]))
+    n_seq = 0
+    for k in range(len(staged)):
+        n_seq += bool(a.update(data.clouds[k], data.odometry[k],
+                               data.timestamps[k]))
+
+    b = pf.PFSlam2D(opts)
+    b.set_prior(Pose2D(*data.poses_gt[0]))
+    accepted = b.update_many_prepadded(staged, list(data.odometry),
+                                       chunk=8)
+
+    assert n_seq == len(accepted)
+    pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
+    np.testing.assert_allclose(pb.pose, pa.pose, atol=1e-6)
+    np.testing.assert_allclose(pb.weight, pa.weight, atol=1e-5, rtol=1e-6)
+    np.testing.assert_array_equal(pb.lineage, pa.lineage)
+    np.testing.assert_array_equal(pb.res_org, pa.res_org)
+    for name in ("res_occ", "res_vis", "res_dist"):
+        np.testing.assert_array_equal(np.asarray(getattr(pb, name)),
+                                      np.asarray(getattr(pa, name)),
+                                      err_msg=name)
+
+
 def test_pf_sharded_equals_unsharded():
     """The 8-device sharded update must produce the same particle state as
     the single-device program (VERDICT r1 weak #4): a silent GSPMD

@@ -131,6 +131,47 @@ def test_update_paths_equivalent():
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
 
 
+def test_update_many_matches_sequential():
+    """The chunked offline-log path (one lax.scan dispatch per chunk of
+    accepted scans) must produce the same trajectory and map as the
+    per-scan driver — including across chunk boundaries with a padded
+    tail and with the motion gate rejecting some scans."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.core.pose import Pose2D
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
+    cfg = simulator.SimConfig(n_steps=50, seed=6,
+                              laser=simulator.LaserSpec(n_beams=120,
+                                                        max_range=8.0))
+    data = simulator.simulate(cfg)
+    opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                         trans_thresh=0.2, rot_thresh=0.2, capacity=1024)
+    nb = beam_bucket(120)
+    staged = []
+    for k in range(50):
+        p, m, o = pad_scan(data.clouds[k], nb)
+        staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
+
+    a = Slam2D(opts)
+    a.set_prior(Pose2D(*data.poses_gt[0]))
+    n_seq = 0
+    for k in range(50):
+        n_seq += bool(a.update_prepadded(*staged[k], data.odometry[k]))
+
+    b = Slam2D(opts)
+    b.set_prior(Pose2D(*data.poses_gt[0]))
+    accepted = b.update_many_prepadded(staged, list(data.odometry), chunk=8)
+
+    assert n_seq == len(accepted)
+    np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
+    ma, mb = a.map, b.map
+    np.testing.assert_array_equal(np.asarray(ma.occupied),
+                                  np.asarray(mb.occupied))
+    np.testing.assert_array_equal(np.asarray(ma.visited),
+                                  np.asarray(mb.visited))
+    np.testing.assert_array_equal(np.asarray(ma.dist), np.asarray(mb.dist))
+
+
 def test_resident_matches_pool_path():
     """The resident sliding-window step is bit-equal to the pool path:
     identical trajectories and identical dense map content (the match
