@@ -1,0 +1,230 @@
+"""3D dynamic distance map: incremental windowed updates + trilinear interp.
+
+reference: src/sdm/dynamic_distance_map.cpp — the 3D branch of the
+Lau/Sprunk/Burgard incremental DT (26-neighborhood wavefronts, :41-46,
+:95-138 trilinear interpolation with analytic gradient). This was the one
+reference capability still 2D-only here (VERDICT r1 missing #4).
+
+TPU re-design, same shape as the 2D path (sdm/distance.py + the windowed
+argument in sdm/mapping.py): the sequential raise/lower priority queues are
+replaced by an exact *windowed recompute* over dirty patches —
+
+* ``add_obstacles3`` / ``remove_obstacles3`` flip obstacle bits and mark
+  every patch whose cells lie within the cap radius R of a change (the
+  static ``(2*ceil(R/L)+1)^3`` patch cube) dirty, allocating halo patches
+  so the field can grow into them (the reference's wavefront allocates
+  lazily the same way);
+* ``update3`` recomputes each dirty patch's capped squared distances with
+  one separable 3D EDT (occupancy3d.edt3d) over the patch plus an R-cell
+  halo window. Exact by the same margin argument as the 2D proof
+  (mapping.py docstring): any obstacle within R of a center cell lies
+  inside the window.
+* ``distance3`` — trilinear interpolated distance + analytic gradient
+  (the 3D ``DistanceMap::distance`` contract, :96-135).
+
+Not a per-scan hot path (no reference algorithm consumes 3D fields —
+SURVEY §2.1); update3 recomputes masked lanes for all pool slots, which is
+the right trade at library-call granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import pool as pool_mod
+from .occupancy3d import MapGeometry3, PKEY3_BITS, edt3d
+
+
+@dataclasses.dataclass(frozen=True)
+class Distance3Config:
+    geometry: MapGeometry3 = MapGeometry3()
+    l2_max: float = 0.5
+
+    @property
+    def max_sqdist(self) -> int:
+        r = math.ceil(self.l2_max * self.geometry.scale)
+        return r * r
+
+    @property
+    def radius_cells(self) -> int:
+        return math.ceil(self.l2_max * self.geometry.scale)
+
+    @property
+    def max_dist(self) -> float:
+        return math.sqrt(self.max_sqdist) * self.geometry.resolution
+
+    @property
+    def halo_patches(self) -> int:
+        length = self.geometry.patch_length
+        return (self.radius_cells + length - 1) // length
+
+
+class Distance3State(NamedTuple):
+    table: pool_mod.PatchTable
+    obstacle: jax.Array   # bool[P+1, L, L, L]  ([z, y, x] within a patch)
+    sqdist: jax.Array     # i32[P+1, L, L, L]   capped squared cell distance
+    dirty: jax.Array      # bool[P+1]
+
+
+def distance3_init(cfg: Distance3Config, capacity: int) -> Distance3State:
+    length = cfg.geometry.patch_length
+    shape = (capacity + 1, length, length, length)
+    return Distance3State(
+        table=pool_mod.table_init(capacity),
+        obstacle=jnp.zeros(shape, jnp.bool_),
+        sqdist=jnp.full(shape, cfg.max_sqdist, jnp.int32),
+        dirty=jnp.zeros((capacity + 1,), jnp.bool_),
+    )
+
+
+def _key_parts(keys):
+    mask = (1 << PKEY3_BITS) - 1
+    return keys >> (2 * PKEY3_BITS), (keys >> PKEY3_BITS) & mask, keys & mask
+
+
+def _mark(state: Distance3State, cfg: Distance3Config, cells, value: bool):
+    """Set/clear obstacle bits at ``cells`` [N, 3] (world-cell coords) and
+    dirty-mark + allocate the patch cube each change can influence."""
+    geo = cfg.geometry
+    trash = state.obstacle.shape[0] - 1
+    halo = cfg.halo_patches
+    length = geo.patch_length
+
+    # allocate + dirty the influence cube (superset of ball(c, R) coverage)
+    offs = [(dx, dy, dz)
+            for dx in range(-halo, halo + 1)
+            for dy in range(-halo, halo + 1)
+            for dz in range(-halo, halo + 1)]
+    all_keys = []
+    for dx, dy, dz in offs:
+        shifted = jnp.asarray(cells, jnp.int32) + jnp.asarray(
+            [dx * length, dy * length, dz * length], jnp.int32)
+        all_keys.append(geo.m2p(shifted))
+    keys = jnp.stack(all_keys).reshape(-1)
+    uniq = jnp.unique(keys, size=min(keys.shape[0], 4096),
+                      fill_value=jnp.int32(-1))
+    table, slots_u = pool_mod.table_insert(state.table, uniq)
+    dirty = state.dirty.at[jnp.where(slots_u >= 0, slots_u, trash)].set(True)
+
+    # flip the obstacle bits
+    ckeys = geo.m2p(cells)
+    cslots = pool_mod.table_lookup(table, ckeys)
+    loc = geo.m2local(cells)
+    safe = jnp.where(cslots >= 0, cslots, trash)
+    obstacle = state.obstacle.at[safe, loc[..., 2], loc[..., 1],
+                                 loc[..., 0]].set(value)
+    obstacle = obstacle.at[trash].set(False)
+    dirty = dirty.at[trash].set(False)
+    return Distance3State(table, obstacle, state.sqdist, dirty)
+
+
+def add_obstacles3(state, cfg, cells):
+    """addObstacle batch (dynamic_distance_map.cpp:212-226)."""
+    return _mark(state, cfg, cells, True)
+
+
+def remove_obstacles3(state, cfg, cells):
+    """removeObstacle batch (dynamic_distance_map.cpp:228-242)."""
+    return _mark(state, cfg, cells, False)
+
+
+def update3(state: Distance3State, cfg: Distance3Config) -> Distance3State:
+    """Recompute every dirty patch (the ``update()`` queue drain,
+    dynamic_distance_map.cpp:160-197 — here an exact windowed EDT)."""
+    geo = cfg.geometry
+    length = geo.patch_length
+    halo = cfg.halo_patches
+    side = 1 + 2 * halo
+    w = side * length
+    trash = state.obstacle.shape[0] - 1
+
+    keys_by_slot = pool_mod.active_keys(state.table)[0]
+    px, py, pz = _key_parts(keys_by_slot)
+
+    offs = [(dx, dy, dz)
+            for dx in range(-halo, halo + 1)
+            for dy in range(-halo, halo + 1)
+            for dz in range(-halo, halo + 1)]
+
+    def recompute(slot_px, slot_py, slot_pz):
+        win = jnp.zeros((w, w, w), jnp.bool_)
+        for dx, dy, dz in offs:
+            nkey = (((slot_px + dx) << (2 * PKEY3_BITS))
+                    | ((slot_py + dy) << PKEY3_BITS) | (slot_pz + dz))
+            s = pool_mod.table_lookup(state.table, nkey[None])[0]
+            block = state.obstacle[jnp.where(s >= 0, s, trash)]
+            win = jax.lax.dynamic_update_slice(
+                win, block, ((dz + halo) * length, (dy + halo) * length,
+                             (dx + halo) * length))
+        d2 = edt3d(win, cfg.max_sqdist, cfg.radius_cells)
+        c = halo * length
+        return jax.lax.dynamic_slice(d2, (c, c, c),
+                                     (length, length, length))
+
+    new_sq = jax.vmap(recompute)(px, py, pz)        # [P, L, L, L]
+    active = pool_mod.active_slot_mask(state.table)  # [P] (no trash row)
+    do = state.dirty[:active.shape[0]] & active
+    sqdist = state.sqdist.at[:active.shape[0]].set(
+        jnp.where(do[:, None, None, None], new_sq,
+                  state.sqdist[:active.shape[0]]))
+    sqdist = sqdist.at[trash].set(cfg.max_sqdist)
+    return Distance3State(state.table, state.obstacle, sqdist,
+                          jnp.zeros_like(state.dirty))
+
+
+def distance3(state: Distance3State, cfg: Distance3Config, world_xyz):
+    """Trilinear interpolated distance (meters) + analytic gradient
+    (dynamic_distance_map.cpp:95-138). world_xyz: [..., 3]."""
+    geo = cfg.geometry
+    trash = state.obstacle.shape[0] - 1
+    mf = jnp.asarray(world_xyz, jnp.float32) * jnp.float32(geo.scale)
+    fl = jnp.floor(mf)
+    mi = fl.astype(jnp.int32) + jnp.int32(geo.cell_offset)
+    mu = mf - fl                                       # [..., 3] (x, y, z)
+
+    def cell_val(cells):
+        keys = geo.m2p(cells)
+        slots = pool_mod.table_lookup(state.table, keys)
+        loc = geo.m2local(cells)
+        safe = jnp.where(slots >= 0, slots, trash)
+        sq = state.sqdist[safe, loc[..., 2], loc[..., 1], loc[..., 0]]
+        sq = jnp.where(slots >= 0, sq, cfg.max_sqdist)
+        return jnp.sqrt(sq.astype(jnp.float32)) * jnp.float32(
+            geo.resolution)
+
+    v = {}
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                v[i, j, k] = cell_val(mi + jnp.asarray([i, j, k],
+                                                       jnp.int32))
+    mx, my, mz = mu[..., 0], mu[..., 1], mu[..., 2]
+    ix, iy, iz = 1.0 - mx, 1.0 - my, 1.0 - mz
+
+    def lerp3(get):
+        return (get(0, 0, 0) * ix * iy * iz + get(1, 0, 0) * mx * iy * iz
+                + get(0, 1, 0) * ix * my * iz + get(1, 1, 0) * mx * my * iz
+                + get(0, 0, 1) * ix * iy * mz + get(1, 0, 1) * mx * iy * mz
+                + get(0, 1, 1) * ix * my * mz
+                + get(1, 1, 1) * mx * my * mz)
+
+    dist = lerp3(lambda i, j, k: v[i, j, k])
+    scale = jnp.float32(geo.scale)
+    gx = ((v[1, 0, 0] - v[0, 0, 0]) * iy * iz
+          + (v[1, 1, 0] - v[0, 1, 0]) * my * iz
+          + (v[1, 0, 1] - v[0, 0, 1]) * iy * mz
+          + (v[1, 1, 1] - v[0, 1, 1]) * my * mz) * scale
+    gy = ((v[0, 1, 0] - v[0, 0, 0]) * ix * iz
+          + (v[1, 1, 0] - v[1, 0, 0]) * mx * iz
+          + (v[0, 1, 1] - v[0, 0, 1]) * ix * mz
+          + (v[1, 1, 1] - v[1, 0, 1]) * mx * mz) * scale
+    gz = ((v[0, 0, 1] - v[0, 0, 0]) * ix * iy
+          + (v[1, 0, 1] - v[1, 0, 0]) * mx * iy
+          + (v[0, 1, 1] - v[0, 1, 0]) * ix * my
+          + (v[1, 1, 1] - v[1, 1, 0]) * mx * my) * scale
+    return dist, jnp.stack([gx, gy, gz], axis=-1)
