@@ -469,6 +469,40 @@ def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
 # Host driver
 # ---------------------------------------------------------------------------
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _make_programs(opts: PFSlam2DOptions):
+    """Jitted device programs for a PFSlam2DOptions, shared across driver
+    instances (fresh jit wrappers per instance re-trace and re-load a
+    byte-identical executable — seconds per program on the remote-TPU
+    runtime). The PRNG key lives on device and evolves inside each
+    program — a separate jax.random.split would be one more tunnel
+    dispatch."""
+    def motion(pset, key, odelta):
+        k1, k2 = jax.random.split(key)
+        return pset._replace(
+            pose=draw_from_motion(opts, k1, odelta, pset.pose)), k2
+
+    def update(pset, key, pts, msk, org):
+        k1, k2 = jax.random.split(key)
+        new_pset, info = pf_update_step(opts, pset, k1, pts, msk, org)
+        return new_pset, info, k2
+
+    return (
+        jax.jit(motion, donate_argnums=(0,)),
+        jax.jit(update, donate_argnums=(0,)),
+        jax.jit(lambda pset, pts, msk, org: pf_first_step(opts, pset, pts,
+                                                          msk, org),
+                donate_argnums=(0,)),
+        jax.jit(
+            lambda pset, key, od, pts, msk, org, dos, valids: pf_chunk_step(
+                opts, pset, key, od, pts, msk, org, dos, valids),
+            donate_argnums=(0,)),
+    )
+
+
 class PFSlam2D:
     """Host driver; mirrors the reference public API (pf_slam2d.h:188-254)."""
 
@@ -497,30 +531,8 @@ class PFSlam2D:
         self.pose_prior = prior
 
     def _build(self):
-        opts = self.options
-
-        # the PRNG key lives on device and evolves inside each program —
-        # a separate jax.random.split would be one more tunnel dispatch
-        def motion(pset, key, odelta):
-            k1, k2 = jax.random.split(key)
-            return pset._replace(
-                pose=draw_from_motion(opts, k1, odelta, pset.pose)), k2
-
-        def update(pset, key, pts, msk, org):
-            k1, k2 = jax.random.split(key)
-            new_pset, info = pf_update_step(opts, pset, k1, pts, msk, org)
-            return new_pset, info, k2
-
-        self._jit_motion = jax.jit(motion, donate_argnums=(0,))
-        self._jit_update = jax.jit(update, donate_argnums=(0,))
-        self._jit_first = jax.jit(
-            lambda pset, pts, msk, org: pf_first_step(opts, pset, pts, msk,
-                                                      org),
-            donate_argnums=(0,))
-        self._jit_chunk = jax.jit(
-            lambda pset, key, od, pts, msk, org, dos, valids: pf_chunk_step(
-                opts, pset, key, od, pts, msk, org, dos, valids),
-            donate_argnums=(0,))
+        (self._jit_motion, self._jit_update, self._jit_first,
+         self._jit_chunk) = _make_programs(self.options)
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:

@@ -91,8 +91,19 @@ class Slam2DOptions:
                              strategy=self.strategy, robust=CAUCHY_SCAN)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
     """Build the fused per-scan device programs.
+
+    Cached on (cfg, sopts): every Slam2D instance with the same options
+    shares ONE set of jit wrappers. Fresh wrappers per instance would
+    re-trace and re-load a distinct (byte-identical) executable per
+    instance — on the remote-TPU runtime that loading costs seconds and
+    dominated the chunked bench reps (prof_chunk: ~5 s per pass at any
+    scan count).
 
     The driver keeps the pose ON DEVICE between scans — remote-TPU tunnels
     pay tens of ms per device->host transfer, so the step takes the previous
@@ -136,8 +147,10 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
             jax.jit(first_step, donate_argnums=(0,)))
 
 
+@functools.lru_cache(maxsize=None)
 def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
-    """Fused per-scan program on a resident sliding window.
+    """Fused per-scan program on a resident sliding window (lru-cached on
+    (cfg, sopts) — see _make_step).
 
     Same math as :func:`_make_step`'s pool path, but the dense window grids
     are the primary state: the step re-orgs (pool flush + re-center +
