@@ -15,6 +15,7 @@ TPU angle: global localization is embarrassingly parallel hypothesis scoring
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -228,148 +229,13 @@ class Loc2D:
                          np.arctan2(t[:, 3], t[:, 2])], -1)
 
     def _build(self):
-        opts, geo, maps = self.options, self.geo, self.maps
-        max_dist = self.dcfg.max_dist
-        sopts = opts.solver_options()
-        # window sizing: scan reach + solver travel slack (same margin logic
-        # as MappingConfig.window_patches)
-        import math as _math
-        import os as _os
-        half_cells = int(_math.ceil((opts.max_range + 2.0) * geo.scale
-                                    + self.dcfg.radius_cells))
-        wp = 2 * (int(_math.ceil(half_cells / geo.patch_length)) + 1)
-        ws = wp * geo.patch_length            # match window side (cells)
-        # resident window: the maps are FIXED, so the dense window needs no
-        # flush — re-gather from the pool only when the pose wanders out
-        # (same trick as Slam2D's resident path, minus the writeback).
-        # Measured a TIE on bench_loc (107/125/133 resident vs 123/120/126
-        # re-gather — the f32 row gather was never the cost at this map
-        # size); kept because it is free and the gather share grows with
-        # map/window size. Wander rings sized like the slam default.
-        extra = int(_os.environ.get("IRIS_LOC_RESIDENT_EXTRA", "4"))
-        wp_res = wp + 2 * extra
-        w_res = wp_res * geo.patch_length
-        use_sq = (_os.environ.get("IRIS_LOC_SQ") == "1"
-                  or (gn_solve.ENABLED
-                      and jax.default_backend() == "tpu"))
-
-        def gather_resident(anchor_cell):
-            from ..sdm import window as win_mod
-            org = win_mod.window_org(geo, anchor_cell, wp_res)
-            keys = win_mod.window_patch_keys(geo, org, wp_res)
-            grid, _ = win_mod.gather_window(maps.distance.table,
-                                            maps.distance.dist, keys,
-                                            max_dist)
-            # f32 meters window by default: at batch=1 the f32 interp path
-            # measured ~2x the s8 squared domain (bench_loc interleaved:
-            # f32 187/214 vs s8+select4 102/89 vs s8+jnp 67/121 up/s).
-            # IRIS_LOC_SQ=1 / the whole-solve kernel force s8.
-            return (self.dcfg.dist_to_sq(grid) if use_sq else grid), org
-
-        self._gather = jax.jit(gather_resident)
-
-        def solve_and_cov(pose0, pts, msk, win, org):
-            # slice the pose-centered match window out of the resident grid
-            # (containment: slice half = ws/2 >= half_cells, and the safe
-            # check keeps the clip from cutting into the probe reach)
-            lp = geo.w2m(pose0[:2]) - org
-            start = jnp.clip(lp - ws // 2, 0, w_res - ws)
-            sub = jax.lax.dynamic_slice(win, (start[1], start[0]), (ws, ws))
-            sub_org = org + start
-            eval_fn = match.make_window_eval(sub, sub_org, geo, max_dist,
-                                             pts, msk)
-            # routes to the whole-solve kernel / fused loop when enabled;
-            # the generic branch is make_window_eval + nlls_solver.solve
-            res = match.solve_window(sub, sub_org, geo, max_dist, pts, msk,
-                                     pose0, sopts)
-            # one post-solve evaluation shared by covariance and RMSE
-            # (was two identical evals — the field gathers dominate)
-            r, J = eval_fn(res.state)
-            cov = nlls_solver.covariance_from_eval(r, J, sopts.robust)
-            n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
-            rmse = jnp.sqrt(jnp.sum(r * r) / n)
-            return res.state, cov, rmse
-
-        self._gloc = jax.jit(lambda pts, msk, key: global_localization_kernel(
-            maps, geo, max_dist, pts, msk, key, opts.gloc_particles))
-
-        # one fused per-update program (remote dispatch is the Loc2D cost:
-        # un-jitted compose/ring ops each pay a tunnel round trip)
-        def step(pose_dev, traj, n, odelta_arr, pts, msk, key, use_gloc,
-                 win, org):
-            pose0 = lie.se2_compose(pose_dev, odelta_arr)
-            if use_gloc:
-                pose0, _ = global_localization_kernel(
-                    maps, geo, max_dist, pts, msk, key, opts.gloc_particles)
-            # re-gather the resident window when the (possibly relocalized)
-            # pose strays: the slice must stay unclipped beyond the probe
-            # reach, i.e. lp within [ws/2, w_res - ws/2) after clamping slop
-            lp = geo.w2m(pose0[:2]) - org
-            m = half_cells
-            safe = jnp.all((lp >= m) & (lp < w_res - m))
-            if _os.environ.get("IRIS_LOC_RESIDENT") == "0":
-                safe = jnp.bool_(False)   # A/B: re-gather every update
-            win, org = jax.lax.cond(
-                safe, lambda a: (win, org),
-                lambda a: gather_resident(geo.w2m(pose0[:2])), None)
-            state, cov, rmse = solve_and_cov(pose0, pts, msk, win, org)
-            traj = traj.at[jnp.minimum(n, traj.shape[0] - 1)].set(state)
-            return state, cov, rmse, traj, win, org
-
-        self._step = jax.jit(step, static_argnums=(7,),
-                             donate_argnums=(1, 8))
-
-        def chunk_step(pose, cov, rmse, traj, k0, win, org, odeltas, ptss,
-                       msks, dos):
-            """C gated localization updates in one device program
-            (lax.scan). Loc2D is dispatch-bound on a remote tunnel — the
-            solve converges in 2-3 IRLS iterations (prof_loc_iters), so
-            the ~1-3 ms per-dispatch latency dominates the ~2 ms device
-            work; chunking amortizes it. ``dos`` masks padded entries."""
-            def body(carry, inp):
-                odelta, pts, msk, do = inp
-
-                def run(args):
-                    pose, win, org, _cov, _rmse = args
-                    pose0 = lie.se2_compose(pose, odelta)
-                    lp = geo.w2m(pose0[:2]) - org
-                    m = half_cells
-                    safe = jnp.all((lp >= m) & (lp < w_res - m))
-                    win2, org2 = jax.lax.cond(
-                        safe, lambda a: (win, org),
-                        lambda a: gather_resident(geo.w2m(pose0[:2])),
-                        None)
-                    state, cov, rmse = solve_and_cov(pose0, pts, msk, win2,
-                                                     org2)
-                    return (state, win2, org2, cov, rmse)
-
-                carry = jax.lax.cond(do, run, lambda a: a, carry)
-                return carry, carry[0]
-
-            carry0 = (pose, win, org, cov, rmse)
-            (pose, win, org, cov, rmse), poses = jax.lax.scan(
-                body, carry0, (odeltas, ptss, msks, dos))
-            k0 = jnp.minimum(k0, traj.shape[0] - poses.shape[0])
-            traj = jax.lax.dynamic_update_slice(traj, poses,
-                                                (k0, jnp.int32(0)))
-            return pose, cov, rmse, traj, win, org
-
-        self._chunk = jax.jit(chunk_step, donate_argnums=(3, 6))
+        (self._gather, self._step, self._chunk, self._rmse, win_shape,
+         win_dtype) = _make_loc_programs(self.options)
         # sentinel origin far from any pose -> the first step re-gathers
         self._org_dev = jnp.full((2,), 1 << 28, jnp.int32)
-        self._win_dev = jnp.zeros(
-            (w_res, w_res),
-            self.dcfg.sq_dtype if use_sq else jnp.float32)
+        self._win_dev = jnp.zeros(win_shape, win_dtype)
 
-        def rmse_only(pose0, pts, msk):
-            eval_fn = match.make_pool_eval(maps.distance.table,
-                                           maps.distance.dist, geo, max_dist,
-                                           pts, msk)
-            r, _ = eval_fn(pose0)
-            n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
-            return jnp.sqrt(jnp.sum(r * r) / n)
 
-        self._rmse = jax.jit(rmse_only)
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0, force_update: bool = False) -> bool:
@@ -390,7 +256,7 @@ class Loc2D:
             self.has_first_scan = True
             if not force_update:
                 return True
-            self._rmse_dev = self._rmse(self._pose_dev, pts, msk)
+            self._rmse_dev = self._rmse(self.maps, self._pose_dev, pts, msk)
             self._rmse_host = None
 
         odelta = self.odom_ - odometry
@@ -414,7 +280,7 @@ class Loc2D:
         # gloc hypothesis sweep, resident-window re-gather when the pose
         # strays, solve+cov+rmse, trajectory-ring append
         state, cov, rmse, self._traj, self._win_dev, self._org_dev = \
-            self._step(self._pose_dev, self._traj,
+            self._step(self.maps, self._pose_dev, self._traj,
                        np.int32(self._n_updates),
                        jnp.asarray(odelta.se2_array()), pts, msk, sub,
                        use_gloc, self._win_dev, self._org_dev)
@@ -482,9 +348,9 @@ class Loc2D:
             dos = jnp.asarray(np.arange(chunk) < n_real)
             (self._pose_dev, self._cov_dev, self._rmse_dev, self._traj,
              self._win_dev, self._org_dev) = self._chunk(
-                self._pose_dev, self._cov_dev, self._rmse_dev, self._traj,
-                jnp.int32(self._n_updates), self._win_dev, self._org_dev,
-                od, pts, msk, dos)
+                self.maps, self._pose_dev, self._cov_dev, self._rmse_dev,
+                self._traj, jnp.int32(self._n_updates), self._win_dev,
+                self._org_dev, od, pts, msk, dos)
             self._pose_host = self._cov_host = self._rmse_host = None
             self._n_updates += n_real
             pend = []
@@ -501,3 +367,149 @@ class Loc2D:
                 flush_chunk()
         flush_chunk()
         return accepted
+
+
+@_functools.lru_cache(maxsize=None)
+def _make_loc_programs(opts: Loc2DOptions):
+    """Jitted Loc2D device programs, shared across driver instances and
+    taking the (fixed) maps as ARGUMENTS: closing over the map arrays
+    would bake them into the HLO as constants — a distinct multi-MB
+    program per Loc2D instance to remote-compile and load (CLAUDE.md:
+    baked constants have hit HTTP 413 on the remote compiler), retraced
+    for every instance. Returns (gather, step, chunk, rmse, window shape,
+    window dtype)."""
+    import math as _math
+    import os as _os
+
+    log2dim = int(np.log2(opts.patch_size))
+    geo = MapGeometry(opts.resolution, log2dim, False)
+    dcfg = dist_mod.DistanceConfig(geo, opts.l2_max)
+    max_dist = dcfg.max_dist
+    sopts = opts.solver_options()
+    # window sizing: scan reach + solver travel slack (same margin logic
+    # as MappingConfig.window_patches)
+    half_cells = int(_math.ceil((opts.max_range + 2.0) * geo.scale
+                                + dcfg.radius_cells))
+    wp = 2 * (int(_math.ceil(half_cells / geo.patch_length)) + 1)
+    ws = wp * geo.patch_length            # match window side (cells)
+    # resident window: the maps are FIXED, so the dense window needs no
+    # flush — re-gather from the pool only when the pose wanders out
+    # (same trick as Slam2D's resident path, minus the writeback).
+    # Measured a TIE on bench_loc (107/125/133 resident vs 123/120/126
+    # re-gather — the f32 row gather was never the cost at this map
+    # size); kept because it is free and the gather share grows with
+    # map/window size. Wander rings sized like the slam default.
+    extra = int(_os.environ.get("IRIS_LOC_RESIDENT_EXTRA", "4"))
+    wp_res = wp + 2 * extra
+    w_res = wp_res * geo.patch_length
+    use_sq = (_os.environ.get("IRIS_LOC_SQ") == "1"
+              or (gn_solve.ENABLED
+                  and jax.default_backend() == "tpu"))
+
+    def gather_resident(maps, anchor_cell):
+        from ..sdm import window as win_mod
+        org = win_mod.window_org(geo, anchor_cell, wp_res)
+        keys = win_mod.window_patch_keys(geo, org, wp_res)
+        grid, _ = win_mod.gather_window(maps.distance.table,
+                                        maps.distance.dist, keys,
+                                        max_dist)
+        # f32 meters window by default: at batch=1 the f32 interp path
+        # measured ~2x the s8 squared domain (bench_loc interleaved:
+        # f32 187/214 vs s8+select4 102/89 vs s8+jnp 67/121 up/s).
+        # IRIS_LOC_SQ=1 / the whole-solve kernel force s8.
+        return (dcfg.dist_to_sq(grid) if use_sq else grid), org
+
+    def solve_and_cov(pose0, pts, msk, win, org):
+        # slice the pose-centered match window out of the resident grid
+        # (containment: slice half = ws/2 >= half_cells, and the safe
+        # check keeps the clip from cutting into the probe reach)
+        lp = geo.w2m(pose0[:2]) - org
+        start = jnp.clip(lp - ws // 2, 0, w_res - ws)
+        sub = jax.lax.dynamic_slice(win, (start[1], start[0]), (ws, ws))
+        sub_org = org + start
+        eval_fn = match.make_window_eval(sub, sub_org, geo, max_dist,
+                                         pts, msk)
+        # routes to the whole-solve kernel / fused loop when enabled;
+        # the generic branch is make_window_eval + nlls_solver.solve
+        res = match.solve_window(sub, sub_org, geo, max_dist, pts, msk,
+                                 pose0, sopts)
+        # one post-solve evaluation shared by covariance and RMSE
+        # (was two identical evals — the field gathers dominate)
+        r, J = eval_fn(res.state)
+        cov = nlls_solver.covariance_from_eval(r, J, sopts.robust)
+        n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
+        rmse = jnp.sqrt(jnp.sum(r * r) / n)
+        return res.state, cov, rmse
+
+    # one fused per-update program (remote dispatch is the Loc2D cost:
+    # un-jitted compose/ring ops each pay a tunnel round trip)
+    def step(maps, pose_dev, traj, n, odelta_arr, pts, msk, key, use_gloc,
+             win, org):
+        pose0 = lie.se2_compose(pose_dev, odelta_arr)
+        if use_gloc:
+            pose0, _ = global_localization_kernel(
+                maps, geo, max_dist, pts, msk, key, opts.gloc_particles)
+        # re-gather the resident window when the (possibly relocalized)
+        # pose strays: the slice must stay unclipped beyond the probe
+        # reach, i.e. lp within [ws/2, w_res - ws/2) after clamping slop
+        lp = geo.w2m(pose0[:2]) - org
+        m = half_cells
+        safe = jnp.all((lp >= m) & (lp < w_res - m))
+        if _os.environ.get("IRIS_LOC_RESIDENT") == "0":
+            safe = jnp.bool_(False)   # A/B: re-gather every update
+        win, org = jax.lax.cond(
+            safe, lambda a: (win, org),
+            lambda a: gather_resident(maps, geo.w2m(pose0[:2])), None)
+        state, cov, rmse = solve_and_cov(pose0, pts, msk, win, org)
+        traj = traj.at[jnp.minimum(n, traj.shape[0] - 1)].set(state)
+        return state, cov, rmse, traj, win, org
+
+    def chunk_step(maps, pose, cov, rmse, traj, k0, win, org, odeltas,
+                   ptss, msks, dos):
+        """C gated localization updates in one device program
+        (lax.scan). Loc2D is dispatch-bound on a remote tunnel — the
+        solve converges in 2-3 IRLS iterations (prof_loc_iters), so
+        the ~1-3 ms per-dispatch latency dominates the ~2 ms device
+        work; chunking amortizes it. ``dos`` masks padded entries."""
+        def body(carry, inp):
+            odelta, pts, msk, do = inp
+
+            def run(args):
+                pose, win, org, _cov, _rmse = args
+                pose0 = lie.se2_compose(pose, odelta)
+                lp = geo.w2m(pose0[:2]) - org
+                m = half_cells
+                safe = jnp.all((lp >= m) & (lp < w_res - m))
+                win2, org2 = jax.lax.cond(
+                    safe, lambda a: (win, org),
+                    lambda a: gather_resident(maps, geo.w2m(pose0[:2])),
+                    None)
+                state, cov, rmse = solve_and_cov(pose0, pts, msk, win2,
+                                                 org2)
+                return (state, win2, org2, cov, rmse)
+
+            carry = jax.lax.cond(do, run, lambda a: a, carry)
+            return carry, carry[0]
+
+        carry0 = (pose, win, org, cov, rmse)
+        (pose, win, org, cov, rmse), poses = jax.lax.scan(
+            body, carry0, (odeltas, ptss, msks, dos))
+        k0 = jnp.minimum(k0, traj.shape[0] - poses.shape[0])
+        traj = jax.lax.dynamic_update_slice(traj, poses,
+                                            (k0, jnp.int32(0)))
+        return pose, cov, rmse, traj, win, org
+
+    def rmse_only(maps, pose0, pts, msk):
+        eval_fn = match.make_pool_eval(maps.distance.table,
+                                       maps.distance.dist, geo, max_dist,
+                                       pts, msk)
+        r, _ = eval_fn(pose0)
+        n = jnp.maximum(jnp.sum(msk) - 1, 1).astype(jnp.float32)
+        return jnp.sqrt(jnp.sum(r * r) / n)
+
+    return (jax.jit(gather_resident),
+            jax.jit(step, static_argnums=(8,), donate_argnums=(2, 9)),
+            jax.jit(chunk_step, donate_argnums=(4, 6)),
+            jax.jit(rmse_only),
+            (w_res, w_res),
+            dcfg.sq_dtype if use_sq else jnp.float32)
