@@ -46,8 +46,6 @@ def run_measurement():
 
     opts = Slam2DOptions(resolution=0.05, max_range=10.0, trans_thresh=0.1,
                          rot_thresh=0.1, capacity=8192, max_iter=50)
-    slam = Slam2D(opts)
-    slam.set_prior(Pose2D(*data.poses_gt[0]))
 
     # stage all scans on device up-front (offline-log preprocessing)
     nb = beam_bucket(720)
@@ -57,26 +55,50 @@ def run_measurement():
         staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
     jax.block_until_ready(staged[-1][0])
 
-    # warmup / compile on first two updates
-    slam.update_prepadded(*staged[0], data.odometry[0], data.timestamps[0])
-    slam.update_prepadded(*staged[1], data.odometry[1], data.timestamps[1])
-    jax.block_until_ready(slam._pose_dev)
+    def run_trajectory(rep=0):
+        """One full pass over the log with a fresh map via the per-scan
+        driver (one dispatch per scan; the chunked lax.scan replay
+        measured ~1.6x slower per scan on this backend — prof_chunk
+        interleaved: seq 601/607 vs chunk 402/340/365 scans/s warm — the
+        scan+cond body loses more to conservative buffer handling than
+        the saved dispatches gain). Device programs are lru-cached across
+        reps, the state is chained + donated (prof13 methodology), and
+        the prior is perturbed per rep (0.1 mm — invisible in ATE) so no
+        two reps replay value-identical dispatch sequences."""
+        slam = Slam2D(opts)
+        slam.set_prior(Pose2D(data.poses_gt[0][0] + rep * 1e-4,
+                              data.poses_gt[0][1], data.poses_gt[0][2]))
+        # first two updates: compile (rep 0) / cache-hit (reps 1+); also
+        # warms the first resident-window re-org before the timed region
+        slam.update_prepadded(*staged[0], data.odometry[0],
+                              data.timestamps[0])
+        slam.update_prepadded(*staged[1], data.odometry[1],
+                              data.timestamps[1])
+        jax.block_until_ready(slam._pose_dev)
 
-    gt = []
-    n_updates = 0
-    t0 = time.perf_counter()
-    for k in range(2, n_steps):
-        if slam.update_prepadded(*staged[k], data.odometry[k],
-                                 data.timestamps[k]):
-            n_updates += 1
-            gt.append(data.poses_gt[k])
-    jax.block_until_ready(slam._pose_dev)
-    elapsed = time.perf_counter() - t0
+        gt = []
+        n_updates = 0
+        t0 = time.perf_counter()
+        for k in range(2, n_steps):
+            if slam.update_prepadded(*staged[k], data.odometry[k],
+                                     data.timestamps[k]):
+                n_updates += 1
+                gt.append(data.poses_gt[k])
+        jax.block_until_ready(slam._pose_dev)
+        elapsed = time.perf_counter() - t0
+        est = slam.trajectory()[-len(gt):]
+        ate = ate_rmse(np.asarray(est), np.asarray(gt))
+        return n_updates / elapsed, ate, n_updates
 
-    scans_per_sec = n_updates / elapsed
-    # poses were recorded on device; one transfer at the end
-    est = slam.trajectory()[-len(gt):]
-    ate = ate_rmse(np.asarray(est), np.asarray(gt))
+    # median of in-process repetitions: a single-shot capture is exposed to
+    # tunnel drift / one slow dispatch (BENCH_r01 measured 497 while
+    # interleaved medians gave ~725-775); rep 0 carries all remote
+    # compilation and is discarded as warmup.
+    reps = 1 if os.environ.get(CHILD_ENV) == "cpu" else 3
+    run_trajectory(rep=9)  # warmup (compiles every program shape)
+    results = [run_trajectory(rep=r) for r in range(reps)]
+    results.sort()
+    scans_per_sec, ate, n_updates = results[len(results) // 2]
 
     print(json.dumps({
         "metric": "slam2d_scans_per_sec",
@@ -88,6 +110,7 @@ def run_measurement():
             "updates": n_updates,
             "beams": 720,
             "resolution": 0.05,
+            "reps": [round(r[0], 2) for r in results],
             "device": str(jax.devices()[0]),
         },
     }), flush=True)

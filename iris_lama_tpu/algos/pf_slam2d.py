@@ -472,6 +472,27 @@ def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
 import functools
 
 
+def _motion_scan(opts: PFSlam2DOptions, pose, key, odeltas, valids):
+    """Apply J queued per-scan motion draws in sequence (the reference
+    calls drawFromMotion once per odometry packet, pf_slam2d.cpp:234-236;
+    the host queues the packets and replays them here in one program with
+    the identical per-packet key-split sequence — bit-equal to J separate
+    motion dispatches). ``valids`` masks bucket padding (inert: padded
+    entries consume no key split)."""
+    def body(carry, inp):
+        od, valid = inp
+
+        def run(args):
+            pose, key = args
+            k1, key = jax.random.split(key)
+            return draw_from_motion(opts, k1, od, pose), key
+
+        return jax.lax.cond(valid, run, lambda a: a, carry), None
+
+    (pose, key), _ = jax.lax.scan(body, (pose, key), (odeltas, valids))
+    return pose, key
+
+
 @functools.lru_cache(maxsize=None)
 def _make_programs(opts: PFSlam2DOptions):
     """Jitted device programs for a PFSlam2DOptions, shared across driver
@@ -480,14 +501,18 @@ def _make_programs(opts: PFSlam2DOptions):
     runtime). The PRNG key lives on device and evolves inside each
     program — a separate jax.random.split would be one more tunnel
     dispatch."""
-    def motion(pset, key, odelta):
-        k1, k2 = jax.random.split(key)
-        return pset._replace(
-            pose=draw_from_motion(opts, k1, odelta, pset.pose)), k2
+    def motion(pset, key, odeltas, valids):
+        pose, key = _motion_scan(opts, pset.pose, key, odeltas, valids)
+        return pset._replace(pose=pose), key
 
-    def update(pset, key, pts, msk, org):
+    def update(pset, key, odeltas, valids, pts, msk, org):
+        # queued motion + full update in ONE dispatch (the sequential
+        # driver used to pay one motion dispatch per scan + one update
+        # dispatch per accepted scan — ~4 tunnel round trips per update)
+        pose, key = _motion_scan(opts, pset.pose, key, odeltas, valids)
         k1, k2 = jax.random.split(key)
-        new_pset, info = pf_update_step(opts, pset, k1, pts, msk, org)
+        new_pset, info = pf_update_step(opts, pset._replace(pose=pose), k1,
+                                        pts, msk, org)
         return new_pset, info, k2
 
     return (
@@ -526,6 +551,7 @@ class PFSlam2D:
         self._jit_first = None
         self._jit_flush_one = None
         self._jit_chunk = None
+        self._odelta_queue = []   # motion packets since the last dispatch
 
     def set_prior(self, prior: Pose2D) -> None:
         self.pose_prior = prior
@@ -561,11 +587,13 @@ class PFSlam2D:
                                    memory=self.memory_usage())
             return True
 
-        # 1. motion prediction for every particle, every call
+        # 1. motion prediction for every particle, every call — QUEUED on
+        # host and replayed inside the next device program (identical key
+        # sequence; see _motion_scan). Dispatching motion per scan paid a
+        # tunnel round trip per odometry packet.
         odelta = self.odom_ - odometry
         self.odom_ = odometry
-        self.pset, self.key = self._jit_motion(
-            self.pset, self.key, jnp.asarray(odelta.se2_array()))
+        self._odelta_queue.append(odelta.se2_array().astype(np.float32))
 
         self.acc_trans += float(np.linalg.norm(odelta.xy()))
         self.acc_rot += abs(odelta.rotation())
@@ -575,8 +603,10 @@ class PFSlam2D:
         self.acc_trans = 0.0
         self.acc_rot = 0.0
 
-        # 2-5. fused device update (no per-scan device->host sync)
+        # 2-5. queued motion + fused device update, ONE dispatch
+        od, valids = self._queued()
         self.pset, info, self.key = self._jit_update(self.pset, self.key,
+                                                     od, valids,
                                                      points, mask, origin)
         self._last_info_dev = info
 
@@ -597,6 +627,7 @@ class PFSlam2D:
             self._max_beams = staged[0][0].shape[0]
         if self._jit_update is None:
             self._build()
+        self._flush_motion()   # mixed per-scan/chunked usage stays exact
         start = 0
         accepted = []
         if not self.has_first_scan:
@@ -651,11 +682,31 @@ class PFSlam2D:
         import numpy as _np
         return {k: float(_np.asarray(v)) for k, v in self._last_info_dev.items()}
 
+    def _queued(self):
+        """Queued odeltas padded to a small power-of-two bucket (few
+        compiled shapes) + valid mask (padding consumes no key split)."""
+        q = self._odelta_queue
+        j = len(q)
+        bucket = max(4, 1 << (j - 1).bit_length()) if j else 4
+        pad = [np.array([0, 0, 1, 0], np.float32)] * (bucket - j)
+        valids = np.arange(bucket) < j
+        self._odelta_queue = []
+        return jnp.asarray(np.stack(q + pad)), jnp.asarray(valids)
+
+    def _flush_motion(self) -> None:
+        """Apply queued motion before observable-state reads (keeps pose()
+        timing semantics identical to the reference's per-packet draw)."""
+        if self._odelta_queue:
+            od, valids = self._queued()
+            self.pset, self.key = self._jit_motion(self.pset, self.key,
+                                                   od, valids)
+
     # -- accessors (pf_slam2d.h:188-254) ------------------------------------
     def best_particle_idx(self) -> int:
         return int(jnp.argmax(self.pset.weight_sum))
 
     def pose(self) -> Pose2D:
+        self._flush_motion()
         i = self.best_particle_idx()
         return Pose2D.from_se2_array(np.asarray(self.pset.pose[i]))
 

@@ -102,6 +102,7 @@ def test_pf_update_many_matches_sequential():
                                        chunk=8)
 
     assert n_seq == len(accepted)
+    a._flush_motion()   # apply trailing queued motion (chunk applied its)
     pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
     np.testing.assert_allclose(pb.pose, pa.pose, atol=1e-6)
     np.testing.assert_allclose(pb.weight, pa.weight, atol=1e-5, rtol=1e-6)
