@@ -120,14 +120,22 @@ def main():
     if os.environ.get(CHILD_ENV):
         return run_measurement()
 
-    # parent: child with a hard timeout, CPU fallback on hang/failure
-    for platform in ("ambient", "cpu"):
+    # parent: child with a hard timeout, CPU fallback on hang/failure.
+    # A wedged tunnel attempt leaves the axon pool lease claimed for
+    # ~10-20 min after the kill (CLAUDE.md) — one cooled-down ambient
+    # retry recovers the TPU capture instead of dooming it to CPU.
+    attempts = (("ambient", CHILD_TIMEOUT_S, 0),
+                ("ambient", 1200, 300),
+                ("cpu", CHILD_TIMEOUT_S, 0))
+    for platform, timeout_s, cooldown_s in attempts:
+        if cooldown_s:
+            time.sleep(cooldown_s)
         env = dict(os.environ)
         env[CHILD_ENV] = platform
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=CHILD_TIMEOUT_S)
+                capture_output=True, text=True, timeout=timeout_s)
             lines = [l for l in out.stdout.splitlines()
                      if l.startswith("{")]
             if lines:
