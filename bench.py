@@ -55,6 +55,14 @@ def run_measurement():
         staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
     jax.block_until_ready(staged[-1][0])
 
+    # Default: chunked replay with straight-line 8-scan unroll programs.
+    # Same-day 5-rep A/B (r2): unroll median 552 scans/s (min 434) vs
+    # sequential median 402-520 (min 276) — best reps tie at ~711-781
+    # (the per-scan device floor, ~1.4 ms), but 8x fewer dispatches cuts
+    # the exposure to tunnel per-dispatch latency noise that drags the
+    # median. IRIS_SLAM_BENCH_CHUNK=0 measures the per-scan driver.
+    chunked = os.environ.get("IRIS_SLAM_BENCH_CHUNK", "1") == "1"
+
     def run_trajectory(rep=0):
         """One full pass over the log with a fresh map via the per-scan
         driver (one dispatch per scan; the chunked lax.scan replay
@@ -77,13 +85,19 @@ def run_measurement():
         jax.block_until_ready(slam._pose_dev)
 
         gt = []
-        n_updates = 0
         t0 = time.perf_counter()
-        for k in range(2, n_steps):
-            if slam.update_prepadded(*staged[k], data.odometry[k],
-                                     data.timestamps[k]):
-                n_updates += 1
-                gt.append(data.poses_gt[k])
+        if chunked:
+            accepted = slam.update_many_prepadded(
+                staged[2:], list(data.odometry)[2:])
+            n_updates = len(accepted)
+            gt = [data.poses_gt[2 + k] for k in accepted]
+        else:
+            n_updates = 0
+            for k in range(2, n_steps):
+                if slam.update_prepadded(*staged[k], data.odometry[k],
+                                         data.timestamps[k]):
+                    n_updates += 1
+                    gt.append(data.poses_gt[k])
         jax.block_until_ready(slam._pose_dev)
         elapsed = time.perf_counter() - t0
         est = slam.trajectory()[-len(gt):]
@@ -94,7 +108,8 @@ def run_measurement():
     # tunnel drift / one slow dispatch (BENCH_r01 measured 497 while
     # interleaved medians gave ~725-775); rep 0 carries all remote
     # compilation and is discarded as warmup.
-    reps = 1 if os.environ.get(CHILD_ENV) == "cpu" else 3
+    reps = (1 if os.environ.get(CHILD_ENV) == "cpu"
+            else int(os.environ.get("IRIS_BENCH_REPS", "5")))
     run_trajectory(rep=9)  # warmup (compiles every program shape)
     results = [run_trajectory(rep=r) for r in range(reps)]
     results.sort()

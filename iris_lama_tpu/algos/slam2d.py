@@ -254,10 +254,40 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
     def flush(state, org, occ, vis, dist):
         return mapping.resident_flush(state, cfg, org, occ, vis, dist)
 
+    @functools.lru_cache(maxsize=None)
+    def make_unroll(c: int):
+        """C accepted scans per dispatch, STRAIGHT-LINE (no lax.scan, no
+        gating cond): each scan is textually the per-scan raw_step, so XLA
+        compiles the same buffer-aliasing structure as the per-scan
+        program — the scan+cond chunk body pays conservative buffer
+        copies that measured ~1.3-1.8x the per-scan device time (bench r2
+        A/B: chunked median 405 vs sequential 520 scans/s) — while the
+        dispatch count still drops by C. Every entry is a real accepted
+        scan (the driver routes sub-C remainders through the per-scan
+        program instead of padding)."""
+        def unroll_step(state, org, occ, vis, dist, pose, traj, k0,
+                        odeltas, points, masks, origins):
+            poses = []
+            for i in range(c):
+                state, org, occ, vis, dist, pose, _ = raw_step(
+                    state, org, occ, vis, dist, pose, odeltas[i],
+                    points[i], masks[i], origins[i])
+                poses.append(pose)
+            stack = jnp.stack(poses)
+            k0 = jnp.minimum(k0, traj.shape[0] - c)
+            traj = jax.lax.dynamic_update_slice(traj, stack,
+                                                (k0, jnp.int32(0)))
+            info = {"num_patches": state.table.num_patches(),
+                    "overflow": state.table.overflow}
+            return state, org, occ, vis, dist, pose, traj, info
+
+        return jax.jit(unroll_step, donate_argnums=(0, 2, 3, 4, 6))
+
     return (jax.jit(step, donate_argnums=(0, 2, 3, 4, 10)),
             jax.jit(first_step, donate_argnums=(1, 2, 3)),
             jax.jit(flush, donate_argnums=(0,)),
-            jax.jit(chunk_step, donate_argnums=(0, 2, 3, 4, 6)))
+            jax.jit(chunk_step, donate_argnums=(0, 2, 3, 4, 6)),
+            make_unroll)
 
 
 class Slam2D:
@@ -416,9 +446,12 @@ class Slam2D:
         self.has_first_scan = True
 
     def _do_step(self, odelta: Pose2D, points, mask, origin) -> None:
+        self._do_step_od(jnp.asarray(odelta.se2_array()), points, mask,
+                         origin)
+
+    def _do_step_od(self, od, points, mask, origin) -> None:
         """2-3. optimize + map update (single fused device program); the
         pose stays on device, host copy goes stale."""
-        od = jnp.asarray(odelta.se2_array())
         k = jnp.int32(self._n_updates)
         if self._resident:
             (self._map, self._res_org, self._res_occ, self._res_vis,
@@ -458,11 +491,12 @@ class Slam2D:
 
     def _build_programs(self) -> None:
         if self._resident:
-            (self._step, self._first, self._flush,
-             self._chunk) = _make_step_resident(self.cfg, self.sopts)
+            (self._step, self._first, self._flush, self._chunk,
+             self._make_unroll) = _make_step_resident(self.cfg, self.sopts)
         else:
             self._step, self._first = _make_step(self.cfg, self.sopts)
             self._chunk = None
+            self._make_unroll = None
 
     def update_many_prepadded(self, staged, odoms,
                               chunk: int = 32) -> list:
@@ -496,6 +530,15 @@ class Slam2D:
                     accepted.append(k)
             return accepted
 
+        # "unroll" (default): straight-line C-scan programs, remainder via
+        # the per-scan program — no gating cond, no scan-body buffer
+        # copies. "scan": the lax.scan+cond chunk (kept for A/B; measured
+        # slower on TPU, faster on CPU).
+        mode = os.environ.get("IRIS_SLAM_CHUNK_MODE", "unroll")
+        if mode == "unroll":
+            chunk = min(chunk, int(os.environ.get("IRIS_SLAM_UNROLL", "8")))
+            unroll_prog = self._make_unroll(chunk)
+
         pend = []   # accepted (odelta, points, mask, origin)
 
         def flush_chunk():
@@ -503,19 +546,32 @@ class Slam2D:
             n_real = len(pend)
             if n_real == 0:
                 return
+            if mode == "unroll" and n_real < chunk:
+                for od_np, p, m, o in pend:     # tail: per-scan program
+                    self._do_step_od(jnp.asarray(od_np), p, m, o)
+                pend = []
+                return
             while len(pend) < chunk:           # pad tail with no-ops
                 pend.append(pend[-1])
             od = jnp.asarray(np.stack([p[0] for p in pend]))
             pts = jnp.stack([p[1] for p in pend])
             msk = jnp.stack([p[2] for p in pend])
             org = jnp.stack([p[3] for p in pend])
-            dos = jnp.asarray(np.arange(chunk) < n_real)
-            (self._map, self._res_org, self._res_occ, self._res_vis,
-             self._res_dist, self._pose_dev, self._traj,
-             info) = self._chunk(
-                self._map, self._res_org, self._res_occ, self._res_vis,
-                self._res_dist, self._pose_dev, self._traj,
-                jnp.int32(self._n_updates), od, pts, msk, org, dos)
+            if mode == "unroll":
+                (self._map, self._res_org, self._res_occ, self._res_vis,
+                 self._res_dist, self._pose_dev, self._traj,
+                 info) = unroll_prog(
+                    self._map, self._res_org, self._res_occ, self._res_vis,
+                    self._res_dist, self._pose_dev, self._traj,
+                    jnp.int32(self._n_updates), od, pts, msk, org)
+            else:
+                dos = jnp.asarray(np.arange(chunk) < n_real)
+                (self._map, self._res_org, self._res_occ, self._res_vis,
+                 self._res_dist, self._pose_dev, self._traj,
+                 info) = self._chunk(
+                    self._map, self._res_org, self._res_occ, self._res_vis,
+                    self._res_dist, self._pose_dev, self._traj,
+                    jnp.int32(self._n_updates), od, pts, msk, org, dos)
             self._res_dirty = True
             self._pose_host = None
             self._last_info_dev = info

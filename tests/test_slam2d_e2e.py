@@ -6,6 +6,7 @@ real logs.
 """
 
 import numpy as np
+import pytest
 
 from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
 from iris_lama_tpu.utils import simulator
@@ -131,15 +132,18 @@ def test_update_paths_equivalent():
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
 
 
-def test_update_many_matches_sequential():
-    """The chunked offline-log path (one lax.scan dispatch per chunk of
-    accepted scans) must produce the same trajectory and map as the
-    per-scan driver — including across chunk boundaries with a padded
+@pytest.mark.parametrize("mode", ["unroll", "scan"])
+def test_update_many_matches_sequential(mode, monkeypatch):
+    """Both chunked offline-log paths (straight-line unroll with a
+    per-scan remainder, and one lax.scan dispatch per chunk of accepted
+    scans) must produce the same trajectory and map as the per-scan
+    driver — including across chunk boundaries with a padded/remainder
     tail and with the motion gate rejecting some scans."""
     import jax.numpy as jnp
     from iris_lama_tpu.core.pose import Pose2D
     from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
 
+    monkeypatch.setenv("IRIS_SLAM_CHUNK_MODE", mode)
     cfg = simulator.SimConfig(n_steps=50, seed=6,
                               laser=simulator.LaserSpec(n_beams=120,
                                                         max_range=8.0))
