@@ -44,19 +44,22 @@ def main():
         staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
     jax.block_until_ready(staged[-1][0])
 
-    def make_opts(seed):
-        return PFSlam2DOptions(particles=30, resolution=0.05,
-                               max_range=10.0, trans_thresh=0.25,
-                               rot_thresh=0.25, capacity=2048,
-                               max_iter=50, seed=seed)
+    # ONE options value for every rep: the jitted program set is lru-cached
+    # on PFSlam2DOptions (algos/pf_slam2d._make_programs), and options.seed
+    # is part of it — a per-rep seed re-traces and re-loads every program
+    # (seconds each on the remote runtime; measured 3.2 up/s vs 45+).
+    opts = PFSlam2DOptions(particles=30, resolution=0.05, max_range=10.0,
+                           trans_thresh=0.25, rot_thresh=0.25,
+                           capacity=2048, max_iter=50, seed=11)
 
     def run_once(rep=0):
-        """Full log replay with a fresh filter. The PRNG seed varies per
-        rep (different motion noise -> different dispatch payloads; the
-        tunnel serves value-identical dispatches from a cache), which
-        also exercises re-orgs the way a live run does."""
-        pf = PFSlam2D(make_opts(seed=11 + rep))
-        pf.set_prior(Pose2D(*data.poses_gt[0]))
+        """Full log replay with a fresh filter. The prior is perturbed per
+        rep (0.1 mm — invisible in the error metric) so no two reps replay
+        value-identical dispatch sequences (the tunnel serves identical
+        dispatches from a cache)."""
+        pf = PFSlam2D(opts)
+        pf.set_prior(Pose2D(data.poses_gt[0][0] + rep * 1e-4,
+                            data.poses_gt[0][1], data.poses_gt[0][2]))
         # first scan (map init + internal sync) outside the timed region
         pf.update(data.clouds[0], data.odometry[0], data.timestamps[0])
         t0 = time.perf_counter()
