@@ -128,8 +128,14 @@ def main():
                                 capacity=8192, max_iter=50, seed=11)
         pf = PFSlam2D(popts)
         pf.set_prior(Pose2D(*data.poses_gt[0]))
+        # sequential path: the chunked lax.scan replay pays carried-state
+        # buffer copies (measured 62.8 vs 89.5 up/s on bench_pf r2)
         t0 = time.perf_counter()
-        accepted = pf.update_many_prepadded(staged, odoms)
+        accepted = []
+        for k in range(args.steps):
+            if pf.update(data.clouds[k], data.odometry[k],
+                         data.timestamps[k]):
+                accepted.append(k)
         jax.block_until_ready(pf.pset.pose)
         dt = time.perf_counter() - t0
         err = float(np.linalg.norm(

@@ -164,9 +164,17 @@ class GraphSlam2D:
         # over the candidate axis turns up-to-5 dispatches and 5 host syncs
         # into one of each, the same move gloc uses for its 3000
         # hypotheses). Padded to a fixed K so the program compiles once.
+        # States and errors come back PACKED in one [K, 5] array: each
+        # device->host pull pays the full ~30 ms tunnel round trip, so two
+        # pulls per key pose were ~half the whole GraphSlam2D budget.
         self._jit_correlate = jax.jit(correlate)
-        self._jit_correlate_batch = jax.jit(
-            jax.vmap(correlate, in_axes=(None, 0, 0, 0, 0)))
+
+        def correlate_packed(map_state, cand_poses, hypos, pts, msks):
+            states, errs = jax.vmap(correlate, in_axes=(None, 0, 0, 0, 0))(
+                map_state, cand_poses, hypos, pts, msks)
+            return jnp.concatenate([states, errs[:, None]], axis=1)
+
+        self._jit_correlate_batch = jax.jit(correlate_packed)
 
         # ---- coarse fallback: throwaway 0.25 m field (cpp:357-392) --------
         coarse_res = 0.25
@@ -198,7 +206,8 @@ class GraphSlam2D:
             res = match.solve_window(g1, o1, geo, max_dist, pts, msk,
                                      r0.state, full)
             err = rmse_window(g1, o1, pts, msk, res.state)
-            return res.state, err
+            # packed [5] = state + err: one device->host pull (see above)
+            return jnp.concatenate([res.state, err[None]])
 
         self._jit_coarse = jax.jit(coarse)
 
@@ -342,13 +351,14 @@ class GraphSlam2D:
                                 cand_pose.rotation()).se2_array())
             pts.append(self.key_poses[cid].points[:, :2])
             msks.append(self.key_poses[cid].mask)
-        states, errs = self._jit_correlate_batch(
+        packed = self._jit_correlate_batch(
             self.slam.map,
             jnp.asarray(np.stack(cand_poses), jnp.float32),
             jnp.asarray(np.stack(hypos), jnp.float32),
             jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
-        states = np.asarray(states)[:len(cand_ids)]
-        errs = [float(e) for e in np.asarray(errs)[:len(cand_ids)]]
+        packed = np.asarray(packed)          # ONE device->host pull
+        states = packed[:len(cand_ids), :4]
+        errs = [float(e) for e in packed[:len(cand_ids), 4]]
         return states, errs
 
     def _coarse_correlate(self, query_id, cand_id):
@@ -357,11 +367,11 @@ class GraphSlam2D:
         cand_pose = inv_corr + self.key_poses[cand_id].pose
         ref = self.key_poses[query_id]
         kp = self.key_poses[cand_id]
-        state, err = self._jit_coarse(
+        packed = np.asarray(self._jit_coarse(
             self.slam.map, _se2(ref_pose), jnp.asarray(ref.points[:, :2]),
             jnp.asarray(ref.mask), _se2(cand_pose),
-            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask))
-        return state, float(err)
+            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask)))
+        return packed[:4], float(packed[4])
 
     def optimize_pose_graph(self) -> None:
         """cpp:394-430."""
