@@ -64,15 +64,17 @@ def run_measurement():
     chunked = os.environ.get("IRIS_SLAM_BENCH_CHUNK", "1") == "1"
 
     def run_trajectory(rep=0):
-        """One full pass over the log with a fresh map via the per-scan
-        driver (one dispatch per scan; the chunked lax.scan replay
-        measured ~1.6x slower per scan on this backend — prof_chunk
-        interleaved: seq 601/607 vs chunk 402/340/365 scans/s warm — the
-        scan+cond body loses more to conservative buffer handling than
-        the saved dispatches gain). Device programs are lru-cached across
-        reps, the state is chained + donated (prof13 methodology), and
-        the prior is perturbed per rep (0.1 mm — invisible in ATE) so no
-        two reps replay value-identical dispatch sequences."""
+        """One full pass over the log with a fresh map. Default path:
+        chunked replay with straight-line 8-scan unroll programs (8x
+        fewer dispatches at per-scan buffer-aliasing structure — r2
+        medians 552 vs 515 sequential, min 434 vs 276). The lax.scan+cond
+        chunk body is the one that loses (~405 vs 520 — conservative
+        buffer copies of the carried map state; IRIS_SLAM_CHUNK_MODE=scan
+        to A/B), and IRIS_SLAM_BENCH_CHUNK=0 measures the per-scan
+        driver. Device programs are lru-cached across reps, the state is
+        chained + donated (prof13 methodology), and the prior is
+        perturbed per rep (0.1 mm — invisible in ATE) so no two reps
+        replay value-identical dispatch sequences."""
         slam = Slam2D(opts)
         slam.set_prior(Pose2D(data.poses_gt[0][0] + rep * 1e-4,
                               data.poses_gt[0][1], data.poses_gt[0][2]))
@@ -140,7 +142,8 @@ def main():
     # ~10-20 min after the kill (CLAUDE.md) — one cooled-down ambient
     # retry recovers the TPU capture instead of dooming it to CPU.
     attempts = (("ambient", CHILD_TIMEOUT_S, 0),
-                ("ambient", 1200, 300),
+                ("ambient", 1200,
+                 int(os.environ.get("IRIS_BENCH_COOLDOWN_S", "600"))),
                 ("cpu", CHILD_TIMEOUT_S, 0))
     for platform, timeout_s, cooldown_s in attempts:
         if cooldown_s:

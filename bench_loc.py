@@ -75,9 +75,9 @@ def main():
             loc.has_first_scan = True
             loc.odom_ = odoms[0]
             for k in range(1, n_steps):
-                pts, msk = staged_loc[k]
-                cloud = data.clouds[k]
-                if loc.update(cloud, odoms[k], data.timestamps[k]):
+                # intentionally the raw cloud: loc.update re-pads on host —
+                # this branch times the live/ROS-style per-scan API
+                if loc.update(data.clouds[k], odoms[k], data.timestamps[k]):
                     accepted.append(k)
         else:
             accepted = loc.update_many_prepadded(staged_loc, odoms)

@@ -67,7 +67,8 @@ def main():
             accepted = pf.update_many_prepadded(
                 staged[1:], list(data.odometry)[1:])
             n_updates = len(accepted)
-            gt_last = data.poses_gt[1 + accepted[-1]]
+            gt_last = (data.poses_gt[1 + accepted[-1]] if accepted
+                       else data.poses_gt[0])
         else:
             n_updates = 0
             gt_last = data.poses_gt[0]

@@ -42,8 +42,11 @@ from .robust import RobustCost, UNIT
 #   "unroll2" while_loop whose body runs TWO masked IRLS steps — halves
 #             the number of loop iterations (cond evaluations / stop
 #             reductions) at unchanged total evaluation count.
-# All three produce identical results (stopped lanes carry unchanged).
-IRLS_MODE = os.environ.get("IRIS_IRLS_MODE", "while")
+# All three produce identical results (stopped lanes carry unchanged;
+# asserted by tests/test_solver.py::test_irls_modes_identical). Read at
+# TRACE time — already-compiled (lru-cached) programs keep their mode.
+def _irls_mode() -> str:
+    return os.environ.get("IRIS_IRLS_MODE", "while")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,13 +191,13 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
 
         return jax.lax.cond(stop_now, converged, take_step, None)
 
-    if IRLS_MODE == "scan":
+    if _irls_mode() == "scan":
         def scan_body(c, _):
             c = jax.lax.cond(cond(c), body, lambda x: x, c)
             return c, None
         final, _ = jax.lax.scan(scan_body, carry0, None,
                                 length=opts.max_iterations)
-    elif IRLS_MODE == "unroll2":
+    elif _irls_mode() == "unroll2":
         def body2(c):
             c = body(c)
             return jax.lax.cond(cond(c), body, lambda x: x, c)

@@ -194,3 +194,41 @@ def test_covariance_svd_fallback_rank_deficient():
     s_inv2 = np.where(np.abs(s) > 1e-3, 1.0 / (s * s), 3.0)
     expect = (vt.T * s_inv2[None, :]) @ vt
     np.testing.assert_allclose(cov, expect, atol=1e-4)
+
+
+def test_irls_modes_identical(monkeypatch):
+    """The three IRIS_IRLS_MODE loop structures produce bit-identical
+    SolveResults (ADVICE r2: the A/B levers need a regression guard).
+
+    Uses a genuinely nonlinear problem (several IRLS iterations, Cauchy
+    reweighting) solved fresh per mode — the mode is read at trace time,
+    so each solve is traced without jit caching in between.
+    """
+    A = rng.normal(size=(24, 3)).astype(np.float32)
+    b = rng.normal(size=(24,)).astype(np.float32)
+
+    def eval_fn(x):
+        # nonlinear residual: quadratic warp keeps GN iterating a while
+        z = jnp.asarray(A) @ x
+        r = z + 0.5 * z ** 2 - jnp.asarray(b)
+        J = jnp.asarray(A) * (1.0 + z)[:, None]
+        return r, J
+
+    def run(mode, strategy):
+        monkeypatch.setenv("IRIS_IRLS_MODE", mode)
+        return nlls.solve(
+            eval_fn, lambda x, h: x + h, jnp.zeros(3),
+            nlls.SolverOptions(max_iterations=25, strategy=strategy,
+                               robust=CAUCHY_SCAN))
+
+    for strategy in ("gn", "lm"):
+        base = run("while", strategy)
+        for mode in ("scan", "unroll2"):
+            other = run(mode, strategy)
+            np.testing.assert_array_equal(np.asarray(base.state),
+                                          np.asarray(other.state))
+            np.testing.assert_array_equal(np.asarray(base.chi2),
+                                          np.asarray(other.chi2))
+            assert int(base.iterations) == int(other.iterations), \
+                (strategy, mode)
+        assert int(base.iterations) >= 2   # the problem must actually iterate
