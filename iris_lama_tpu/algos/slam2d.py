@@ -64,8 +64,9 @@ class Slam2DOptions:
     # primary map state; the patch pool is only exchanged on a (rare)
     # re-org — removes the per-scan gather/alloc/writeback. Exact (same
     # windowed-EDT contract; the match sub-window provably contains every
-    # probe the pool window would serve). Auto-disabled for transient maps
-    # and the spill tier, which need per-scan pool interaction.
+    # probe the pool window would serve). Transient maps stay resident
+    # (pruning = in-window patch resets + pool prunes inside the step);
+    # only the host spill tier disables it (per-scan pool interaction).
     resident_window: bool = os.environ.get("IRIS_SLAM_RESIDENT", "1") != "0"
     resident_extra_patches: int = int(os.environ.get(
         "IRIS_SLAM_RESIDENT_EXTRA", "4"))
@@ -196,6 +197,15 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
 
         occ, vis, dist, n_cells = mapping.resident_update(
             cfg, org, occ, vis, dist, res.state, points, mask, origin)
+        if cfg.transient:
+            # transient pruning, resident form: reset non-kept window
+            # patches in place and prune out-of-window pool patches —
+            # per-scan, exactly like the pool path (slam2d.cpp:323-373).
+            g = mapping.beam_geometry(cfg, res.state, points, mask, origin)
+            ac, ah = mapping.transient_keep_aabb(cfg, res.state, g)
+            occ, vis, dist = mapping.resident_transient_reset(
+                cfg, org, occ, vis, dist, ac, ah)
+            state = mapping.prune_transient_pool(state, cfg, ac, ah)
         info = {"iterations": res.iterations, "chi2": res.chi2,
                 "processed_cells": n_cells,
                 "num_patches": state.table.num_patches(),
@@ -249,6 +259,11 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
     def first_step(org, occ, vis, dist, pose0, points, mask, origin):
         occ, vis, dist, _ = mapping.resident_update(
             cfg, org, occ, vis, dist, pose0, points, mask, origin)
+        if cfg.transient:
+            g = mapping.beam_geometry(cfg, pose0, points, mask, origin)
+            ac, ah = mapping.transient_keep_aabb(cfg, pose0, g)
+            occ, vis, dist = mapping.resident_transient_reset(
+                cfg, org, occ, vis, dist, ac, ah)
         return occ, vis, dist
 
     def flush(state, org, occ, vis, dist):
@@ -308,10 +323,11 @@ class Slam2D:
         self._step = None
         self._last_info_dev = {}
         self._first = None
-        # resident sliding window (disabled where per-scan pool interaction
-        # is required: transient pruning, host spill tier)
+        # resident sliding window (disabled for the host spill tier, which
+        # needs per-scan pool interaction; transient maps are resident-
+        # compatible since r3 — pruning runs as window resets + pool
+        # prunes inside the fused step)
         self._resident = (options.resident_window
-                          and not options.transient_map
                           and not options.use_compression)
         self._res_org = None
         self._res_occ = None

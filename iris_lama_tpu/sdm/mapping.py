@@ -493,7 +493,8 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     if cfg.transient:
         # identical pure recompute of the beam geometry — CSE'd by XLA
         g = beam_geometry(cfg, pose, points, mask, origin)
-        new_state = _prune_transient(new_state, cfg, pose, g)
+        a_center, a_half = transient_keep_aabb(cfg, pose, g)
+        new_state = prune_transient_pool(new_state, cfg, a_center, a_half)
 
     info = {
         "processed_cells": sc.n_cells,
@@ -503,15 +504,11 @@ def update_maps(state: SlamMapState, cfg: MappingConfig, pose,
     return new_state, info
 
 
-def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
-                     g: ScanGeometry) -> SlamMapState:
-    """Delete patches whose AABB misses the expanded surface AABB.
-
-    reference: slam2d.cpp:323-373 — surface bounds symmetrized around the
-    pose (x2 expansion for Slam2D, x1 for LidarOdometry2D), grown by twice
-    the distance-map range, tested against each patch's box; survivors stay.
-    """
-    geo = cfg.geometry
+def transient_keep_aabb(cfg: MappingConfig, pose, g: ScanGeometry):
+    """The expanded surface AABB transient maps keep (slam2d.cpp:329-343):
+    surface bounds symmetrized around the pose (x2 expansion for Slam2D, x1
+    for LidarOdometry2D), grown by twice the distance-map range. Returns
+    (center [2], half-extent [2]) in world coords."""
     big = jnp.float32(1e30)
     m = g.valid[:, None]
     mn = jnp.min(jnp.where(m, g.hit_xy, big), axis=0)
@@ -521,7 +518,15 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
     ydist = jnp.maximum(py - mn[1], mx[1] - py) * cfg.transient_expand
     a_center = jnp.stack([px, py])
     a_half = jnp.stack([xdist, ydist]) + 2.0 * cfg.distance.max_dist
+    return a_center, a_half
 
+
+def prune_transient_pool(state: SlamMapState, cfg: MappingConfig,
+                         a_center, a_half) -> SlamMapState:
+    """Delete pool patches whose AABB misses the keep AABB
+    (slam2d.cpp:345-371: per-patch box intersection test; survivors stay).
+    """
+    geo = cfg.geometry
     keys, active = pool_mod.active_keys(state.table)
     anchors = geo.p2anchor(keys)                       # [P, 2] cells
     ws = geo.m2w(anchors)
@@ -562,6 +567,43 @@ def _prune_transient(state: SlamMapState, cfg: MappingConfig, pose,
 
     return jax.lax.cond(jnp.any(rm_keys >= 0), do_remove, lambda st: st,
                         state)
+
+
+def _window_patch_boxes(cfg: MappingConfig, org, wp: int):
+    """World-space (center [wp,wp,2], half [2]) boxes of a window's patches
+    (grid row py = y, col px = x, same layout as window_patch_keys)."""
+    geo = cfg.geometry
+    length = geo.patch_length
+    ax = org[0] + jnp.arange(wp, dtype=jnp.int32) * length   # col -> x
+    ay = org[1] + jnp.arange(wp, dtype=jnp.int32) * length   # row -> y
+    anchors = jnp.stack(jnp.broadcast_arrays(ax[None, :], ay[:, None]), -1)
+    ws = geo.m2w(anchors)
+    we = geo.m2w(anchors + length)
+    return 0.5 * (ws + we), 0.5 * (we - ws)
+
+
+def resident_transient_reset(cfg: MappingConfig, org, occ, vis, dist,
+                             a_center, a_half):
+    """Transient pruning applied to the resident window grids: patches whose
+    AABB misses the keep AABB are reset to default content (the resident
+    equivalent of the pool path's patch deletion — slam2d.cpp:345-371; the
+    per-patch decision is identical, the patch just lives as a dense block
+    of the window instead of a pool slot)."""
+    geo = cfg.geometry
+    length = geo.patch_length
+    wp = occ.shape[-1] // length
+    b_center, b_half = _window_patch_boxes(cfg, org, wp)
+    sep = jnp.abs(a_center[None, None, :] - b_center)
+    keep = jnp.all(sep <= (a_half[None, None, :] + b_half), axis=-1)
+    keep_cells = jnp.repeat(jnp.repeat(keep, length, 0), length, 1)
+    occ = jnp.where(keep_cells, occ, jnp.zeros((), occ.dtype))
+    vis = jnp.where(keep_cells, vis, jnp.zeros((), vis.dtype))
+    if jnp.issubdtype(dist.dtype, jnp.integer):
+        default = jnp.asarray(cfg.distance.max_sqdist, dist.dtype)
+    else:
+        default = jnp.asarray(cfg.distance.max_dist, dist.dtype)
+    dist = jnp.where(keep_cells, dist, default)
+    return occ, vis, dist
 
 
 # ---------------------------------------------------------------------------
@@ -651,6 +693,24 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
     cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
     table, new_slots = pool_mod.table_insert_unique(state.table, cand)
     slots = jnp.where(need_new, new_slots.reshape(wp, wp), slots)
+
+    if cfg.transient:
+        # pool-path parity: a transient-reset window patch is *deleted*
+        # from the pool (slam2d.cpp:356-366), not stored as zeros — free
+        # its stale slot; the scatter below routes its block out of range.
+        stale = jnp.logical_and(slots >= 0, jnp.logical_not(content_patch))
+        rm = jnp.where(stale, keys, jnp.int32(-1)).reshape(-1)
+
+        def do_remove(tb):
+            tb, _ = pool_mod.table_remove(tb, rm)
+            return tb
+
+        table = jax.lax.cond(jnp.any(stale), do_remove, lambda tb: tb,
+                             table)
+        # keep the stale slots in the scatter: their window blocks are all
+        # default values (that is what made them stale), so the write
+        # resets the freed rows — the invariant every partial writeback
+        # (write_mask) relies on.
 
     occupied = win_mod.scatter_window(state.occupied, slots,
                                       occ.astype(state.occupied.dtype))

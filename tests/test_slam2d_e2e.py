@@ -206,3 +206,45 @@ def test_resident_matches_pool_path():
     np.testing.assert_array_equal(occ_r, occ_p)
     np.testing.assert_array_equal(vis_r, vis_p)
     np.testing.assert_array_equal(dist_r, dist_p)
+
+
+def _patch_content(slam):
+    """{patch_key: (occ, vis, dist) blocks} for all non-default patches —
+    pool-membership-order independent map content."""
+    import jax.numpy as jnp
+    from iris_lama_tpu.sdm import pool as pool_mod
+
+    m = slam.map   # flushes the resident grids on the resident path
+    keys, active = (np.asarray(a) for a in pool_mod.active_keys(m.table))
+    occ = np.asarray(m.occupied)
+    vis = np.asarray(m.visited)
+    dist = np.asarray(m.dist)
+    max_dist = np.float32(slam.cfg.distance.max_dist)
+    out = {}
+    for s in np.nonzero(active)[0]:
+        blk = (occ[s], vis[s], dist[s])
+        if blk[0].any() or blk[1].any() or (blk[2] != max_dist).any():
+            out[int(keys[s])] = blk
+    return out
+
+
+def test_resident_transient_matches_pool_path():
+    """r3: transient maps on the resident window are bit-equal to the pool
+    path — identical trajectories and identical per-patch map content
+    (transient pruning = in-window patch resets + per-scan pool prunes;
+    reference semantics slam2d.cpp:323-373)."""
+    kw = dict(n_steps=120, seed=3, transient_map=True)
+    est_r, _, _, slam_r = run_sim_slam(resident_window=True,
+                                       resident_extra_patches=1, **kw)
+    est_p, _, _, slam_p = run_sim_slam(resident_window=False, **kw)
+
+    np.testing.assert_array_equal(est_r, est_p)
+
+    cr, cp = _patch_content(slam_r), _patch_content(slam_p)
+    assert set(cr) == set(cp)
+    for k in cr:
+        for a, b in zip(cr[k], cp[k]):
+            np.testing.assert_array_equal(a, b)
+    # the run must actually exercise pruning (pool stays far below the
+    # visited-world patch total) and at least one resident re-org
+    assert len(cr) < 700, len(cr)
