@@ -6,14 +6,30 @@ Slam2D front end (:104-111) + key-pose chain (1 m / 0.5*pi gates, :199-207)
 (:394-430) with the correction transform rebased onto the live SLAM pose.
 
 TPU mapping of the pieces:
+* the front end is the full resident-window Slam2D step (transient pruning
+  runs inside the fused per-scan program since r3) and accepts prepadded
+  scans / chunked replay like every other driver;
+* key-pose gate (:199-207) — gates on the *matched slam pose* delta like the
+  reference, WITHOUT a per-scan device sync: matched poses land in the
+  device trajectory ring anyway, so a tiny jitted program replays the gate
+  over the ring once per sync window (``sync_updates`` accepted scans) and
+  returns all fired key events in ONE packed pull. The last-key-pose
+  register stays on device between syncs.
 * nanoflann k-d radius search -> masked pairwise distances on host numpy
   (key-pose counts are ~10^3; brute force beats tree-building);
-* dual-hypothesis candidate verification (:315-355) -> one jitted program
-  per candidate: two 1-iteration GN solves, winner refined with a full
-  solve, nearest-cell RMSE — all on the live map's dense window;
+* dual-hypothesis candidate verification (:315-355) -> ONE jitted program
+  for every candidate of every key pose in the sync window (vmapped): two
+  1-iteration GN solves, winner refined with a full solve, nearest-cell
+  RMSE — packed into a single device->host pull;
 * coarse fallback (:357-392) -> a throwaway dense 0.25 m grid + exact EDT
   (no patch pool needed for a scan-sized scratch field);
 * minisam LM -> the batched SE(2) factor graph (nlls/factor_graph.py).
+
+Freshness contract: key-pose creation, loop-closure factors, and the
+correction transform lag the front end by at most ``sync_updates`` accepted
+scans (the correction only ever changes at a pose-graph optimize, so the
+estimated pose stream is unaffected between optimizes). Reads of
+``key_poses``/``links`` and the map/optimize entry points sync first.
 """
 
 from __future__ import annotations
@@ -35,10 +51,12 @@ from ..nlls.solver import SolverOptions
 from ..sdm import distance as dist_mod
 from ..sdm import mapping, window as win_mod
 from ..sdm.geometry import MapGeometry
-from ..utils.cloud import PointCloudXYZ, pad_scan
+from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
 from .slam2d import Slam2D, Slam2DOptions
 
 HUBER_MATCH = RobustCost("huber", 0.15)   # graph_slam2d.cpp:327, 363
+
+KEY_SCAN_S = 64   # trajectory entries examined per key-gate dispatch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,10 +74,13 @@ class GraphSlam2DOptions:
     loop_closure_scan_rmse: float = 0.05
     loop_closure_max_candidates: int = 10   # graph_slam2d.h:82
     ignore_n_chain_poses: int = 20
+    # --- TPU batching knobs (see module docstring freshness contract) ---
+    sync_updates: int = 8    # per-scan mode: accepted scans between syncs
+    sync_scans: int = 32     # chunked replay: raw scans per front-end slice
 
 
 class KeyPose(NamedTuple):
-    """graph_slam2d.h:97-104 (cloud kept as padded device arrays)."""
+    """graph_slam2d.h:97-104 (cloud kept as padded host arrays)."""
 
     id: int
     pose: Pose2D        # corrected/global frame
@@ -81,29 +102,45 @@ class GraphSlam2D:
         self.options = options
         slam_opts = dataclasses.replace(options.slam, transient_map=True)
         self.slam = Slam2D(slam_opts)
-        self.key_poses: List[KeyPose] = []
-        self.links: List[tuple] = []
+        self._key_poses: List[KeyPose] = []
+        self._links: List[tuple] = []
         self.correction = Pose2D()
         self.accdist = 0.0
         self.factordist = 0.0
-        self._prev_key = None
-        self._prev_key_odom = None
         self._builder = fg.GraphBuilder()
         self._factor_queue = 0   # factors queued since last optimize
-        self._jit_correlate = None
+        self._jit_correlate_batch = None
         self._jit_coarse = None
-        self._odom0: Optional[Pose2D] = None
+        self._jit_key_scan = None
+        self._prior = Pose2D()
+        # deferred key-pose machinery (see module docstring)
+        self._scan_buf: dict = {}       # update index -> (pts, msk, org, t)
+        self._k_synced = 0              # updates consumed by the key gate
+        self._since_sync = 0
+        self._last_key_dev = None       # device register: last key raw pose
 
     # -- public API ----------------------------------------------------------
     def set_prior(self, prior: Pose2D) -> None:
         self.slam.set_prior(prior)
+        self._prior = prior
 
     def pose(self) -> Pose2D:
-        """corrected global pose = correction + slam pose."""
+        """corrected global pose = correction + slam pose (the correction
+        lags by at most sync_updates accepted scans after an optimize)."""
         return self.correction + self.slam.pose()
 
     def enough_motion(self, odometry: Pose2D) -> bool:
         return self.slam.enough_motion(odometry)
+
+    @property
+    def key_poses(self) -> List[KeyPose]:
+        self._sync()
+        return self._key_poses
+
+    @property
+    def links(self) -> List[tuple]:
+        self._sync()
+        return self._links
 
     # -- loop-closure kernels ------------------------------------------------
     def _build_kernels(self):
@@ -158,23 +195,57 @@ class GraphSlam2D:
             err = rmse_window(grid, org, pts, msk, res.state)
             return res.state, err
 
-        # All candidates verify in ONE device program (the reference loops
-        # host-side, graph_slam2d.cpp:248-273; on the tunnel every dispatch
-        # + result pull costs ms — vmapping the dual-hypothesis correlation
-        # over the candidate axis turns up-to-5 dispatches and 5 host syncs
-        # into one of each, the same move gloc uses for its 3000
-        # hypotheses). Padded to a fixed K so the program compiles once.
-        # States and errors come back PACKED in one [K, 5] array: each
-        # device->host pull pays the full ~30 ms tunnel round trip, so two
-        # pulls per key pose were ~half the whole GraphSlam2D budget.
-        self._jit_correlate = jax.jit(correlate)
-
+        # All candidates of all sync-window key poses verify in ONE device
+        # program (the reference loops host-side, graph_slam2d.cpp:248-273;
+        # on the tunnel every dispatch + result pull costs ms — vmapping
+        # the dual-hypothesis correlation over the candidate axis turns
+        # up-to-K dispatches and K host syncs into one of each). Padded to
+        # a fixed K so the program compiles once; states and errors come
+        # back PACKED in one [K, 5] array (each device->host pull pays the
+        # full ~30 ms tunnel round trip).
         def correlate_packed(map_state, cand_poses, hypos, pts, msks):
             states, errs = jax.vmap(correlate, in_axes=(None, 0, 0, 0, 0))(
                 map_state, cand_poses, hypos, pts, msks)
             return jnp.concatenate([states, errs[:, None]], axis=1)
 
         self._jit_correlate_batch = jax.jit(correlate_packed)
+
+        # ---- key-pose gate over the trajectory ring (cpp:199-207) ---------
+        # The matched poses of the last `n` accepted scans are already in
+        # the device trajectory ring; this program replays the reference's
+        # slam-pose gate over them (sequential scan: the last-key register
+        # evolves as keys fire) and packs all fired events + count into one
+        # [S+1, 5] array: rows i<n_events = [update_idx, x, y, cos, sin],
+        # last row [0] = n_events. The register round-trips on device.
+        kd = self.options.key_pose_distance
+        ka = self.options.key_pose_angular_distance
+
+        def key_scan(traj, k0, n, last_key):
+            block = jax.lax.dynamic_slice(traj, (k0, jnp.int32(0)),
+                                          (KEY_SCAN_S, 4))
+            valid = jnp.arange(KEY_SCAN_S) < n
+
+            def body(last, inp):
+                pose, ok = inp
+                rel = lie.se2_compose(lie.se2_inverse(last), pose)
+                d2 = rel[0] * rel[0] + rel[1] * rel[1]
+                ang = jnp.abs(jnp.arctan2(rel[3], rel[2]))
+                fire = ok & ((d2 >= kd * kd) | (ang >= ka))
+                last = jnp.where(fire, pose, last)
+                return last, fire
+
+            last_key, fires = jax.lax.scan(body, last_key, (block, valid))
+            idx = jnp.nonzero(fires, size=KEY_SCAN_S,
+                              fill_value=KEY_SCAN_S)[0]
+            safe = jnp.minimum(idx, KEY_SCAN_S - 1)
+            rows = jnp.concatenate(
+                [(k0 + idx).astype(jnp.float32)[:, None],
+                 block[safe]], axis=1)
+            count = jnp.zeros((1, 5), jnp.float32).at[0, 0].set(
+                jnp.sum(fires).astype(jnp.float32))
+            return jnp.concatenate([rows, count], axis=0), last_key
+
+        self._jit_key_scan = jax.jit(key_scan)
 
         # ---- coarse fallback: throwaway 0.25 m field (cpp:357-392) --------
         coarse_res = 0.25
@@ -214,159 +285,213 @@ class GraphSlam2D:
     # -- main update (graph_slam2d.cpp:188-283) ------------------------------
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
-        opts = self.options
-        if self._odom0 is None:
-            self._odom0 = odometry
-        did = self.slam.update(cloud, odometry, timestamp)
+        if self.slam._max_beams == 0:
+            self.slam._max_beams = beam_bucket(len(cloud.points))
+        points, mask, origin = pad_scan(cloud, self.slam._max_beams)
+        return self.update_prepadded(points, mask, origin, odometry,
+                                     timestamp)
+
+    def update_prepadded(self, points, mask, origin, odometry: Pose2D,
+                         timestamp: float = 0.0) -> bool:
+        """Per-scan path on pre-padded arrays (host numpy preferred — the
+        key-pose machinery keeps the padded cloud on host)."""
+        did = self.slam.update_prepadded(points, mask, origin, odometry,
+                                         timestamp)
         if not did:
             return False
-        if self._jit_correlate is None:
+        self._scan_buf[self.slam._n_updates - 1] = (points, mask, origin,
+                                                    timestamp)
+        self._since_sync += 1
+        if self._since_sync >= self.options.sync_updates:
+            self._sync()
+        return True
+
+    def update_many_prepadded(self, staged, odoms, timestamps=None) -> list:
+        """Chunked offline replay: the front end rides Slam2D's
+        straight-line unroll programs in slices of ``sync_scans`` raw
+        scans, with one key-gate sync (and its loop-closure batch) per
+        slice. ``staged`` holds (points, mask, origin) padded arrays (host
+        numpy preferred). Returns accepted scan indices."""
+        S = self.options.sync_scans
+        accepted = []
+        for i in range(0, len(staged), S):
+            sl = staged[i:i + S]
+            od = list(odoms[i:i + S])
+            u0 = self.slam._n_updates
+            acc = self.slam.update_many_prepadded(sl, od)
+            for j, a in enumerate(acc):
+                t = timestamps[i + a] if timestamps is not None else 0.0
+                self._scan_buf[u0 + j] = sl[a] + (t,)
+                accepted.append(i + a)
+            self._sync()
+        return accepted
+
+    # -- deferred key-pose sync ---------------------------------------------
+    def _sync(self) -> None:
+        """Replay the key-pose gate over new trajectory entries, create the
+        fired key poses, verify their loop-closure candidates (one batched
+        dispatch + one pull), and optimize when thresholds are met."""
+        self._since_sync = 0
+        n_new = self.slam._n_updates - self._k_synced
+        if n_new <= 0:
+            return
+        if self._jit_key_scan is None:
             self._build_kernels()
+        new_queries = []
+        if self._last_key_dev is None:
+            # key pose 0: the first update's matched pose IS the prior
+            # (graph_slam2d.cpp:196-198 first-key special case)
+            self._last_key_dev = jnp.asarray(self._prior.se2_array(),
+                                             jnp.float32)
+            q = self._create_key(0, self._prior)
+            if q is not None:
+                new_queries.append(q)
+        while n_new > 0:
+            take = min(n_new, KEY_SCAN_S)
+            packed, self._last_key_dev = self._jit_key_scan(
+                self.slam._traj, jnp.int32(self._k_synced),
+                jnp.int32(take), self._last_key_dev)
+            data = np.asarray(packed)          # ONE device->host pull
+            for row in data[:int(data[-1, 0])]:
+                q = self._create_key(int(row[0]),
+                                     Pose2D.from_se2_array(row[1:5]))
+                if q is not None:
+                    new_queries.append(q)
+            self._k_synced += take
+            n_new -= take
+        self._scan_buf = {k: v for k, v in self._scan_buf.items()
+                          if k >= self._k_synced}
+        if new_queries:
+            self._close_loops(new_queries)
+        # optimize cadence (cpp:275-279)
+        if self._factor_queue > 0 and (self._factor_queue > 5 or
+                                       self.factordist > 15.0):
+            self._optimize()
 
-        # 2. key-pose gate. The reference gates on the slam-pose delta
-        # (graph_slam2d.cpp:200-206); we gate on the accumulated *odometry*
-        # delta to avoid a device->host pose sync every scan (they agree to
-        # within local drift over the 1 m gate), then sync the true pose only
-        # when a key pose is actually created.
-        if self._prev_key_odom is not None:
-            odiff = self._prev_key_odom - odometry
-            if (np.linalg.norm(odiff.xy()) < opts.key_pose_distance and
-                    abs(odiff.rotation()) < opts.key_pose_angular_distance):
-                return True
-        self._prev_key_odom = odometry
-        cur = self.slam.pose()
-        if self._prev_key is not None:
-            diff = self._prev_key - cur
-        else:
-            diff = Pose2D()
-        self._prev_key = cur
-
-        keyid = len(self.key_poses)
-        corrected = self.correction + cur
-        points, mask, origin = pad_scan(cloud, self.slam._max_beams)
-
+    def _create_key(self, k_idx: int, raw: Pose2D) -> Optional[int]:
+        """Create a key pose for accepted update ``k_idx`` (matched pose
+        ``raw`` in the slam frame). Returns the query id whose candidates
+        are due for verification (cpp:209-232 + head-delay), or None."""
+        opts = self.options
+        corrected = self.correction + raw
+        points, mask, origin, t = self._scan_buf[k_idx]
+        keyid = len(self._key_poses)
         if keyid == 0:
             self._builder.add_prior(0, corrected.se2_array(),
                                     (0.01, 0.01, 0.01))
         else:
-            self.accdist += float(np.linalg.norm(diff.xy()))
-            self.factordist += float(np.linalg.norm(diff.xy()))
-            between = self.key_poses[-1].pose - corrected
+            prev = self._key_poses[-1]
+            step = float(np.linalg.norm((prev.raw_pose - raw).xy()))
+            self.accdist += step
+            self.factordist += step
+            between = prev.pose - corrected
             self._builder.add_between(keyid - 1, keyid, between.se2_array(),
                                       (0.25, 0.25, 0.15))
-
-        self.key_poses.append(KeyPose(keyid, corrected, cur, points, mask,
-                                      origin, timestamp))
-
+        self._key_poses.append(KeyPose(keyid, corrected, raw,
+                                       np.asarray(points), np.asarray(mask),
+                                       np.asarray(origin), t))
         if (keyid < opts.key_pose_head_delay or
                 keyid < opts.ignore_n_chain_poses):
-            return True
+            return None
+        return keyid - opts.key_pose_head_delay
 
-        # 5. loop-closure search (adaptive radius, cpp:236-237)
-        r = min(self.accdist, 100.0) / 100.0
-        radius = (opts.loop_search_max_distance ** r *
-                  opts.loop_search_min_distance ** (1.0 - r))
-        query_id = keyid - opts.key_pose_head_delay
-        query = self.key_poses[query_id].pose
+    def _close_loops(self, query_ids) -> None:
+        """Loop-closure search + batched verification for the sync window's
+        query key poses; acceptance order per query is the reference's:
+        fine(0), coarse(0) if fine(0) failed, fine(1), fine(2), ...
+        (graph_slam2d.cpp:248-273 with the rank-0-only coarse fallback);
+        at most one accepted factor per query (cpp:273)."""
+        opts = self.options
+        pairs = []          # (query_id, cand_id) in per-query rank order
+        for qid in query_ids:
+            # adaptive radius (cpp:236-237)
+            r = min(self.accdist, 100.0) / 100.0
+            radius = (opts.loop_search_max_distance ** r *
+                      opts.loop_search_min_distance ** (1.0 - r))
+            cands = self._find_candidates(self._key_poses[qid].pose.xy(),
+                                          radius, qid)
+            pairs.extend((qid, cid) for cid in cands)
+        if not pairs:
+            return
+        states, errs = self._verify_pairs(pairs)
 
-        candidates = self._find_candidates(query.xy(), radius, query_id)
-
-        # all candidates verify in ONE device dispatch + one result pull
-        # (states [K,4], errs [K]); acceptance order is the reference's:
-        # fine(0), coarse(0) if fine(0) failed, fine(1), fine(2), ...
-        # (graph_slam2d.cpp:248-273 with the rank-0-only coarse fallback)
-        states, errs = self._correlate_all(query_id, candidates)
-
-        accepted = False
-        for rank, cand_id in enumerate(candidates):
-            state, err = states[rank], errs[rank]
-            if err > opts.loop_closure_scan_rmse:
-                if rank == 0:
-                    state, err = self._coarse_correlate(query_id, cand_id)
-                    if err > opts.loop_closure_scan_rmse * 2.0:
+        row = 0
+        for qid in query_ids:
+            rows = [i for i in range(len(pairs)) if pairs[i][0] == qid]
+            for rank, i in enumerate(rows):
+                state, err = states[i], errs[i]
+                cand_id = pairs[i][1]
+                if err > opts.loop_closure_scan_rmse:
+                    if rank == 0:
+                        state, err = self._coarse_correlate(qid, cand_id)
+                        if err > opts.loop_closure_scan_rmse * 2.0:
+                            continue
+                    else:
                         continue
-                else:
-                    continue
-            # between = matched^-1 * ref (cpp:353 with Pose2D operator-)
-            matched = Pose2D.from_se2_array(np.asarray(state))
-            ref_pose = self.correction.inverse() + self.key_poses[
-                query_id].pose
-            between = matched - ref_pose
-            self._builder.add_between(cand_id, query_id,
-                                      between.se2_array(), (0.5, 0.5, 0.1),
-                                      huber_k=0.1)
-            self.links.append((cand_id, query_id))
-            self._factor_queue += 1
-            self.factordist = 0.0
-            accepted = True
-            break   # only one factor per update (cpp:273)
-
-        if (self._factor_queue == 0 or
-                (self._factor_queue <= 5 and self.factordist <= 15.0)):
-            return True
-
-        self.optimize_pose_graph()
-        self.factordist = 0.0
-        return True
+                # between = matched^-1 * ref (cpp:353 with Pose2D operator-)
+                matched = Pose2D.from_se2_array(np.asarray(state))
+                ref_pose = self.correction.inverse() + self._key_poses[
+                    qid].pose
+                between = matched - ref_pose
+                self._builder.add_between(cand_id, qid,
+                                          between.se2_array(),
+                                          (0.5, 0.5, 0.1), huber_k=0.1)
+                self._links.append((cand_id, qid))
+                self._factor_queue += 1
+                self.factordist = 0.0
+                break   # only one factor per key pose (cpp:273)
 
     # -- helpers -------------------------------------------------------------
     def _find_candidates(self, query_xy, radius, query_id):
         """nanoflann radius query equivalent (cpp:284-313): brute-force
         distances, excluding the most recent chain poses."""
         n_ignore = self.options.ignore_n_chain_poses
-        limit = len(self.key_poses) - n_ignore
+        limit = len(self._key_poses) - n_ignore
         if limit <= 0:
             return []
-        xy = np.array([kp.pose.xy() for kp in self.key_poses[:limit]])
+        xy = np.array([kp.pose.xy() for kp in self._key_poses[:limit]])
         d = np.linalg.norm(xy - np.asarray(query_xy), axis=1)
         order = np.argsort(d)
         sel = [int(i) for i in order if d[i] <= radius and i != query_id]
         return sel[:self.options.loop_max_candidates]
 
-    def _correlate(self, query_id, cand_id):
-        inv_corr = self.correction.inverse()
-        ref_pose = inv_corr + self.key_poses[query_id].pose
-        cand_pose = inv_corr + self.key_poses[cand_id].pose
-        hypo1 = Pose2D(ref_pose.x(), ref_pose.y(), cand_pose.rotation())
-        kp = self.key_poses[cand_id]
-        state, err = self._jit_correlate(
-            self.slam.map, _se2(cand_pose), _se2(hypo1),
-            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask))
-        return state, float(err)
-
-    def _correlate_all(self, query_id, cand_ids):
-        """Dual-hypothesis verification of every candidate, vmapped into a
-        single device program (padded to loop_max_candidates so it compiles
-        once). Returns (states [K, 4] np, errs [K] list of float)."""
-        if not cand_ids:
-            return np.zeros((0, 4), np.float32), []
+    def _verify_pairs(self, pairs):
+        """Dual-hypothesis verification of (query, candidate) pairs,
+        vmapped into device programs of ``loop_max_candidates`` rows
+        (padded — compiles once). Returns (states [P, 4] np, errs list)."""
+        if self._jit_correlate_batch is None:
+            self._build_kernels()
         k_max = self.options.loop_max_candidates
         inv_corr = self.correction.inverse()
-        ref_pose = inv_corr + self.key_poses[query_id].pose
-        cand_poses, hypos, pts, msks = [], [], [], []
-        for cid in (list(cand_ids) + [cand_ids[0]] * k_max)[:k_max]:
-            cand_pose = inv_corr + self.key_poses[cid].pose
-            cand_poses.append(cand_pose.se2_array())
-            hypos.append(Pose2D(ref_pose.x(), ref_pose.y(),
-                                cand_pose.rotation()).se2_array())
-            pts.append(self.key_poses[cid].points[:, :2])
-            msks.append(self.key_poses[cid].mask)
-        packed = self._jit_correlate_batch(
-            self.slam.map,
-            jnp.asarray(np.stack(cand_poses), jnp.float32),
-            jnp.asarray(np.stack(hypos), jnp.float32),
-            jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
-        packed = np.asarray(packed)          # ONE device->host pull
-        states = packed[:len(cand_ids), :4]
-        errs = [float(e) for e in packed[:len(cand_ids), 4]]
-        return states, errs
+        all_states = np.zeros((len(pairs), 4), np.float32)
+        all_errs: List[float] = []
+        for off in range(0, len(pairs), k_max):
+            chunk = pairs[off:off + k_max]
+            cand_poses, hypos, pts, msks = [], [], [], []
+            for qid, cid in (chunk + [chunk[0]] * k_max)[:k_max]:
+                ref_pose = inv_corr + self._key_poses[qid].pose
+                cand_pose = inv_corr + self._key_poses[cid].pose
+                cand_poses.append(cand_pose.se2_array())
+                hypos.append(Pose2D(ref_pose.x(), ref_pose.y(),
+                                    cand_pose.rotation()).se2_array())
+                pts.append(self._key_poses[cid].points[:, :2])
+                msks.append(self._key_poses[cid].mask)
+            packed = self._jit_correlate_batch(
+                self.slam.map,
+                jnp.asarray(np.stack(cand_poses), jnp.float32),
+                jnp.asarray(np.stack(hypos), jnp.float32),
+                jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
+            packed = np.asarray(packed)          # ONE device->host pull
+            all_states[off:off + len(chunk)] = packed[:len(chunk), :4]
+            all_errs.extend(float(e) for e in packed[:len(chunk), 4])
+        return all_states, all_errs
 
     def _coarse_correlate(self, query_id, cand_id):
         inv_corr = self.correction.inverse()
-        ref_pose = inv_corr + self.key_poses[query_id].pose
-        cand_pose = inv_corr + self.key_poses[cand_id].pose
-        ref = self.key_poses[query_id]
-        kp = self.key_poses[cand_id]
+        ref_pose = inv_corr + self._key_poses[query_id].pose
+        cand_pose = inv_corr + self._key_poses[cand_id].pose
+        ref = self._key_poses[query_id]
+        kp = self._key_poses[cand_id]
         packed = np.asarray(self._jit_coarse(
             self.slam.map, _se2(ref_pose), jnp.asarray(ref.points[:, :2]),
             jnp.asarray(ref.mask), _se2(cand_pose),
@@ -374,12 +499,19 @@ class GraphSlam2D:
         return packed[:4], float(packed[4])
 
     def optimize_pose_graph(self) -> None:
-        """cpp:394-430."""
-        n = len(self.key_poses)
+        """Public optimize entry (cpp:394-430): flush pending key events,
+        then solve unconditionally."""
+        self._sync()
+        self._optimize()
+
+    def _optimize(self) -> None:
+        n = len(self._key_poses)
+        if n == 0:
+            return
         graph = self._builder.finalize()
         n_pad = fg.GraphBuilder._bucket(n)
         nodes = np.tile(np.array([0, 0, 1, 0], np.float32), (n_pad, 1))
-        for i, kp in enumerate(self.key_poses):
+        for i, kp in enumerate(self._key_poses):
             nodes[i] = kp.pose.se2_array()
         active = np.zeros(n_pad, bool)
         active[:n] = True
@@ -389,14 +521,20 @@ class GraphSlam2D:
         if not np.isfinite(out[:n]).all():
             return
         for i in range(n):
-            self.key_poses[i] = self.key_poses[i]._replace(
+            self._key_poses[i] = self._key_poses[i]._replace(
                 pose=Pose2D.from_se2_array(out[i]))
-        # correction rebase (cpp:416-425): C = B * A^-1; correction = C^-1
-        A = self.key_poses[-1].pose
-        B = self.slam.pose()
+        # correction rebase (cpp:416-425): C = B * A^-1; correction = C^-1.
+        # The reference uses the LIVE slam pose as B, but it only ever
+        # optimizes immediately after creating a key pose — where the live
+        # pose IS the last key's raw pose. Ours may optimize a few scans
+        # later (deferred sync), so the key's own raw pose is the faithful
+        # anchor.
+        A = self._key_poses[-1].pose
+        B = self._key_poses[-1].raw_pose
         self.correction = A + B.inverse()   # A * B^-1
         self._factor_queue = 0
         self.accdist = 0.0
+        self.factordist = 0.0
 
     # -- map regeneration (cpp:131-186) --------------------------------------
     def generate_occupancy_map(self, mesh=None) -> mapping.SlamMapState:
@@ -409,15 +547,18 @@ class GraphSlam2D:
         """
         from ..parallel import map_rebuild
 
+        self._sync()
         cfg = dataclasses.replace(self.slam.cfg,
                                   capacity=4 * self.slam.cfg.capacity)
-        if not self.key_poses:
+        if not self._key_poses:
             return mapping.slam_map_init(cfg)
         poses = np.asarray([np.asarray(_se2(kp.pose)) for kp in
-                            self.key_poses], np.float32)
-        points = jnp.asarray(np.stack([kp.points for kp in self.key_poses]))
-        masks = jnp.asarray(np.stack([kp.mask for kp in self.key_poses]))
-        origins = jnp.asarray(np.stack([kp.origin for kp in self.key_poses]))
+                            self._key_poses], np.float32)
+        points = jnp.asarray(np.stack([kp.points for kp in
+                                       self._key_poses]))
+        masks = jnp.asarray(np.stack([kp.mask for kp in self._key_poses]))
+        origins = jnp.asarray(np.stack([kp.origin for kp in
+                                        self._key_poses]))
         org, h, w = map_rebuild.grid_bounds(cfg, cfg.geometry, poses)
         dense = map_rebuild.rebuild_dense(cfg, jnp.asarray(poses), points,
                                           masks, origins, org, h, w,
@@ -436,10 +577,11 @@ class GraphSlam2D:
         import jax.numpy as jnp
         from ..sdm import pool as pool_mod
 
+        self._sync()
         geo = MapGeometry(resolution, 4, False)
         dcfg = dist_mod.DistanceConfig(geo, l2_max)
         all_pts = []
-        for kp in self.key_poses:
+        for kp in self._key_poses:
             c, s = np.cos(kp.pose.rotation()), np.sin(kp.pose.rotation())
             R = np.array([[c, -s], [s, c]])
             pts = kp.points[kp.mask][:, :2] @ R.T + kp.pose.xy()

@@ -94,3 +94,49 @@ def test_generate_coarse_distance_map():
                             jnp.asarray([kp.pose.xy()], jnp.float32),
                             dcfg.max_dist)
     assert 0.05 < float(d[0]) <= dcfg.max_dist + 1e-6
+
+
+def test_key_pose_gate_uses_slam_pose_not_odometry():
+    """VERDICT r2 #5: the key-pose gate must follow the reference's
+    *slam-pose* delta (graph_slam2d.cpp:200-206), not accumulated odometry.
+    Under systematic odometry slippage (odometry reports half the true
+    motion) an odometry gate would place key poses ~2 m of true travel
+    apart; the pose gate keeps them at the 1 m option value."""
+    cfg = simulator.SimConfig(
+        n_steps=160, seed=11,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0),
+        odom_trans_noise=0.0, odom_rot_noise=0.0)
+    data = simulator.simulate(cfg)
+
+    # slip: odometry translation scaled 0.5 around the start pose
+    x0, y0 = data.odometry[0].x(), data.odometry[0].y()
+    slipped = [Pose2D(x0 + 0.5 * (o.x() - x0), y0 + 0.5 * (o.y() - y0),
+                      o.rotation()) for o in data.odometry]
+
+    slam_opts = Slam2DOptions(resolution=0.1, patch_size=16, max_range=8.0,
+                              trans_thresh=0.1, rot_thresh=0.15,
+                              capacity=4096, transient_map=True)
+    gs = GraphSlam2D(GraphSlam2DOptions(slam=slam_opts, sync_updates=4))
+    gs.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(cfg.n_steps):
+        gs.update(data.clouds[k], slipped[k], data.timestamps[k])
+
+    kps = gs.key_poses
+    assert len(kps) >= 4, len(kps)
+    # consecutive key poses: raw (slam-frame) translational spacing obeys
+    # the 1 m pose gate, not the ~2 m an odometry gate would produce
+    gaps = [np.linalg.norm((kps[i - 1].raw_pose - kps[i].raw_pose).xy())
+            for i in range(1, len(kps))]
+    med = float(np.median(gaps))
+    # gate checks are quantized by accepted-scan spacing (~0.2-0.45 m of
+    # true motion per accepted scan here), so gaps land in [1.0, ~1.5);
+    # an odometry gate would need ~2 m of TRUE travel per 1 m of slipped
+    # odometry — gaps ~2.0-2.9 m
+    assert 0.9 <= med <= 1.6, (med, gaps)
+    assert max(gaps) < 1.9, gaps
+    # and the raw poses actually track true motion (matcher fixed the slip)
+    start = np.asarray(data.poses_gt[0][:2])
+    true_dist = np.linalg.norm(
+        np.asarray([p[:2] for p in data.poses_gt]) - start, axis=1).max()
+    kp_dist = max(np.linalg.norm(kp.raw_pose.xy() - start) for kp in kps)
+    assert kp_dist > 0.6 * true_dist, (kp_dist, true_dist)
