@@ -5,6 +5,7 @@ on the 8-device virtual CPU mesh.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from iris_lama_tpu.algos import pf_slam2d as pf
 from iris_lama_tpu.core.pose import Pose2D
@@ -74,12 +75,16 @@ def test_pf_resampling_happens():
     assert resampled
 
 
-def test_pf_update_many_matches_sequential():
-    """The chunked offline-log replay (one lax.scan dispatch per chunk,
-    motion every scan + gated updates, same PRNG split sequence) must
-    reproduce the sequential driver exactly."""
+@pytest.mark.parametrize("mode", ["scan", "unroll"])
+def test_pf_update_many_matches_sequential(mode, monkeypatch):
+    """The chunked offline-log replay (both program shapes: the lax.scan
+    chunk and the r3 straight-line unroll — motion every scan + gated
+    updates, same PRNG split sequence) must reproduce the sequential
+    driver exactly."""
     import jax.numpy as jnp
     from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+
+    monkeypatch.setenv("IRIS_PF_CHUNK_MODE", mode)
 
     data = _sim(n_steps=40)
     opts = _opts(seed=123, trans_thresh=0.25, rot_thresh=0.25)
@@ -102,7 +107,8 @@ def test_pf_update_many_matches_sequential():
                                        chunk=8)
 
     assert n_seq == len(accepted)
-    a._flush_motion()   # apply trailing queued motion (chunk applied its)
+    a._flush_motion()   # apply trailing queued motion
+    b._flush_motion()   # (the scan chunk applied its; unroll queues like a)
     pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
     np.testing.assert_allclose(pb.pose, pa.pose, atol=1e-6)
     np.testing.assert_allclose(pb.weight, pa.weight, atol=1e-5, rtol=1e-6)
