@@ -117,6 +117,9 @@ def run_measurement():
     results.sort()
     scans_per_sec, ate, n_updates = results[len(results) // 2]
 
+    # pinned quality (VERDICT r2 #6): measured 3.7 mm; fails on 3x drift
+    assert ate < 0.012, f"Slam2D ATE regression: {ate:.4f} m"
+
     print(json.dumps({
         "metric": "slam2d_scans_per_sec",
         "value": round(scans_per_sec, 2),

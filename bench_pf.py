@@ -88,6 +88,9 @@ def main():
     results.sort()
     ups, err, n_updates = results[len(results) // 2]
 
+    # pinned quality (VERDICT r2 #6): measured ~1 mm final error
+    assert err < 0.05, f"PF quality regression: {err:.4f} m"
+
     print(json.dumps({
         "metric": "pf_slam2d_updates_per_sec",
         "value": round(ups, 2),

@@ -56,6 +56,8 @@ def main():
     err = float(np.mean([np.linalg.norm(
         Pose2D.from_se2_array(np.asarray(out)[i]).xy() - true[i].xy())
         for i in range(0, n, 16)]))
+    # pinned quality (VERDICT r2 #6): measured ~8 mm from 0.3 m noise
+    assert err < 0.03, f"PGO quality regression: {err:.4f} m"
     print(json.dumps({
         "metric": "pose_graph_solve_ms",
         "value": round(ms, 2),
