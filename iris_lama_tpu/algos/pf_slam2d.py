@@ -19,6 +19,7 @@ like Options::seed (pf_slam2d.h:174-176).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import NamedTuple, Optional
@@ -137,6 +138,12 @@ class ParticleSet(NamedTuple):
     # instead of gathering the big pool arrays every update; the gather by
     # ``lineage`` happens once per re-org/flush. i32[N]; resident mode only.
     lineage: Optional[jax.Array] = None
+    # Host-store lineage (use_compression only): the composed resample
+    # permutation since the host last permuted its per-particle compressed
+    # stores (sdm/spill.PFSpillStore). Unlike ``lineage`` it survives
+    # device-side re-orgs — only the host resets it, right after applying
+    # it to the stores. i32[N].
+    spill_lineage: Optional[jax.Array] = None
 
 
 def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
@@ -160,6 +167,8 @@ def particles_init(opts: PFSlam2DOptions, prior_se2) -> ParticleSet:
                               cfg.sq_dtype),
             lineage=jnp.arange(n, dtype=jnp.int32),
         )
+        if opts.use_compression:
+            res["spill_lineage"] = jnp.arange(n, dtype=jnp.int32)
     return ParticleSet(
         pose=jnp.broadcast_to(prior_se2, (n, 4)).astype(jnp.float32),
         weight=jnp.zeros((n,), jnp.float32),
@@ -367,12 +376,15 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     # 3-4. weights + resampling (resident grids follow the lineage gather)
     idx, pose, weight, weight_sum, nw, neff, do_resample = \
         _weights_and_resample(opts, pset, key, states, liks)
+    spill_lineage = pset.spill_lineage
     if not _DEBUG_NO_LINEAGE:
         # pool maps: defer — compose the permutation (settled at re-org).
         # The big resident-grid gathers only run on actual resamples
         # (idx == arange otherwise, when the gather would copy ~180 MB of
         # grids to produce identical arrays)
         lineage = lineage[idx]
+        if spill_lineage is not None:
+            spill_lineage = spill_lineage[idx]
         occ, vis, dist = jax.lax.cond(
             do_resample,
             lambda ovd: tuple(a[idx] for a in ovd),
@@ -388,7 +400,7 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     occ, vis, dist = jax.vmap(upd)(occ, vis, dist, pose)
 
     new_set = ParticleSet(pose, weight, weight_sum, nw, maps,
-                          org, occ, vis, dist, lineage)
+                          org, occ, vis, dist, lineage, spill_lineage)
     # escaped: particles whose updates were clipped by the window edge even
     # after a re-org (diverged filter) — degraded, flagged, never fatal
     escaped = jnp.sum(~mapping.resident_safe(cfg, org, geo.w2m(pose[:, :2])))
@@ -438,6 +450,24 @@ def pf_chunk_step(opts: PFSlam2DOptions, pset: ParticleSet, key, odeltas,
         body, (pset, key), (odeltas, points, masks, origins, dos, valids))
     info = {"overflow": jnp.max(pset.maps.table.overflow)}
     return pset, key, info
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def pf_settle(pset: ParticleSet) -> ParticleSet:
+    """Realize the deferred pool lineage (semantically a no-op: each
+    particle's pool becomes its own again) and reset both permutations.
+    Host callers MUST permute their per-particle stores with the OLD
+    spill_lineage (pulled before this call) — see sdm/spill.PFSpillStore."""
+    maps = jax.tree.map(lambda a: a[pset.lineage], pset.maps)
+    eye = jnp.arange(pset.lineage.shape[0], dtype=jnp.int32)
+    sl = eye if pset.spill_lineage is not None else None
+    return pset._replace(maps=maps, lineage=eye, spill_lineage=sl)
+
+
+@jax.jit
+def pf_patch_counts(tables):
+    """int32[N] active patch count per particle (tiny pull)."""
+    return jax.vmap(lambda t: t.num_patches())(tables)
 
 
 def pf_first_step(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
@@ -576,6 +606,20 @@ class PFSlam2D:
         self._jit_flush_one = None
         self._jit_chunk = None
         self._odelta_queue = []   # motion packets since the last dispatch
+        # per-particle spill tier (use_compression parity:
+        # /root/reference/src/pf_slam2d.cpp:201-204 — the compressor bounds
+        # every particle's live map memory)
+        self._pf_spill = None
+        if options.use_compression and options.resident_window:
+            from ..sdm.spill import PFSpillStore
+            cfg = options.mapping_config()
+            self._pf_spill = PFSpillStore(cfg, cfg.geometry,
+                                          options.particles,
+                                          codec=options.calgorithm)
+            self._sync_pose: Optional[Pose2D] = None
+            self._sync_odom: Optional[Pose2D] = None
+            self._potential: set = set()
+            self._check_at = int(0.85 * options.capacity)
 
     def set_prior(self, prior: Pose2D) -> None:
         self.pose_prior = prior
@@ -587,16 +631,22 @@ class PFSlam2D:
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
         """pf_slam2d.cpp:178-311."""
+        if self._max_beams == 0:
+            self._max_beams = beam_bucket(len(cloud.points))
+        points, mask, origin = pad_scan(cloud, self._max_beams)
+        return self.update_prepadded(
+            jnp.asarray(points), jnp.asarray(mask), jnp.asarray(origin),
+            odometry, timestamp)
+
+    def update_prepadded(self, points, mask, origin, odometry: Pose2D,
+                         timestamp: float = 0.0) -> bool:
+        """Per-scan path on pre-padded arrays."""
         t0 = time.perf_counter()
         opts = self.options
         if self._max_beams == 0:
-            self._max_beams = beam_bucket(len(cloud.points))
+            self._max_beams = points.shape[0]
         if self._jit_update is None:
             self._build()
-
-        points, mask, origin = pad_scan(cloud, self._max_beams)
-        points, mask, origin = (jnp.asarray(points), jnp.asarray(mask),
-                                jnp.asarray(origin))
 
         if not self.has_first_scan:
             self.odom_ = odometry
@@ -626,6 +676,9 @@ class PFSlam2D:
             return False
         self.acc_trans = 0.0
         self.acc_rot = 0.0
+
+        if self._pf_spill is not None:
+            self._pf_spill_hooks(odometry)   # refill near / spill far
 
         # 2-5. queued motion + fused device update, ONE dispatch
         od, valids = self._queued()
@@ -660,6 +713,14 @@ class PFSlam2D:
             self._max_beams = staged[0][0].shape[0]
         if self._jit_update is None:
             self._build()
+        if self._pf_spill is not None:
+            # the spill tier needs its host hooks before every update —
+            # ride the per-update fused program (still 1 dispatch/update)
+            accepted = []
+            for k in range(len(staged)):
+                if self.update_prepadded(*staged[k], odoms[k]):
+                    accepted.append(k)
+            return accepted
         self._flush_motion()   # mixed per-scan/chunked usage stays exact
         start = 0
         accepted = []
@@ -801,6 +862,77 @@ class PFSlam2D:
             self.pset, self.key = self._jit_motion(self.pset, self.key,
                                                    od, valids)
 
+    # -- per-particle spill tier ---------------------------------------------
+    def _pf_sync_now(self) -> None:
+        """Pair the current best-particle pose with its odometry (one
+        pull; flushes queued motion first)."""
+        self._sync_pose = self.pose()
+        self._sync_odom = self.odom_
+
+    def _pf_approx_pose(self, odometry: Pose2D) -> np.ndarray:
+        """Estimated pose without a device pull: best-particle pose at the
+        last sync composed with the odometry increment since; drift + the
+        particle spread are covered by the refill margin."""
+        if self._sync_pose is None:
+            self._pf_sync_now()
+        est = self._sync_pose + (self._sync_odom - odometry)
+        return np.asarray(est.xy())
+
+    def _pf_settle_stores(self) -> None:
+        """Settle the deferred lineage on device and re-key the host
+        stores with the SAME permutation (one tiny pull)."""
+        perm = np.asarray(self.pset.spill_lineage)
+        self._pf_spill.permute(perm)
+        self.pset = pf_settle(self.pset)
+
+    def _pf_spill_hooks(self, odometry: Pose2D) -> None:
+        """Refill stored patches the resident window could touch; spill far
+        patches when any particle's pool nears capacity. Steady state costs
+        zero device pulls (host-side upper bound, like Slam2D's tier)."""
+        sp = self._pf_spill
+        if sp.any_stored() and self._sync_odom is not None:
+            # bound the estimate drift while stored territory exists: the
+            # refill margin must absorb |estimate - true pose|, so resync
+            # (one pull) every half-margin of odometry travel
+            moved = float(np.linalg.norm(
+                (self._sync_odom - odometry).xy()))
+            half_margin_m = (0.5 * sp.margin * self.options.patch_size
+                             * self.options.resolution)
+            if moved > half_margin_m:
+                self._pf_sync_now()
+        xy = self._pf_approx_pose(odometry)
+        if sp.any_stored() and sp.need_refill(xy):
+            self._pf_settle_stores()
+            self.pset = self.pset._replace(
+                maps=sp.refill_batch(self.pset.maps, xy))
+        self._potential.update(int(k) for k in sp.window_keys_np(xy))
+        upper = len(self._potential) - sp.stored_floor()
+        if upper > self._check_at:
+            self._pf_sync_now()
+            xy = self._pf_approx_pose(odometry)
+            counts = np.asarray(pf_patch_counts(self.pset.maps.table))
+            n_max = int(counts.max())
+            if n_max > sp.high:
+                self._pf_settle_stores()
+                maps, _ = sp.spill_batch(self.pset.maps, xy)
+                self.pset = self.pset._replace(maps=maps)
+                n_max = int(np.asarray(
+                    pf_patch_counts(self.pset.maps.table)).max())
+            self._check_at = (len(self._potential) - sp.stored_floor()
+                              + max(sp.high - n_max, 8))
+
+    def full_particle_map(self, idx: Optional[int] = None):
+        """One particle's COMPLETE map (device pool + its spilled patches)
+        for IO/export — returns (SlamMapState, MappingConfig). Without the
+        spill tier this is particle_map with the driver's config."""
+        i = self.best_particle_idx() if idx is None else idx
+        m = self.particle_map(i)
+        if self._pf_spill is None or not self._pf_spill.any_stored():
+            return m, self.options.mapping_config()
+        si = (int(self.pset.spill_lineage[i])
+              if self.pset.spill_lineage is not None else i)
+        return self._pf_spill.merged_map_particle(m, si)
+
     # -- accessors (pf_slam2d.h:188-254) ------------------------------------
     def best_particle_idx(self) -> int:
         return int(jnp.argmax(self.pset.weight_sum))
@@ -816,7 +948,10 @@ class PFSlam2D:
         fixed-size buffer, not per-patch storage)."""
         n_p = np.asarray(self.pset.maps.table.num_patches()).sum()
         length = self.options.patch_size
-        return int(n_p) * length * length * (2 + 2 + 1 + 4)
+        total = int(n_p) * length * length * (2 + 2 + 1 + 4)
+        if self._pf_spill is not None:
+            total += self._pf_spill.memory_usage()
+        return total
 
     def particle_map(self, idx: Optional[int] = None) -> mapping.SlamMapState:
         """One particle's fused map (best particle by default) —

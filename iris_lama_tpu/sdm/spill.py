@@ -55,14 +55,9 @@ def _occ_dtype(cfg):
     return OCC_DTYPE if cfg.occ_model == "frequency" else jnp.float32
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-def extract_patches(state, cfg, keys):
-    """Pull ``keys`` (int32[M], -1 padded) out of the pool.
-
-    Returns (new_state, occ[M, L, L], vis[M, L, L], dist[M, L, L],
-    present bool[M]). Extracted slots are freed and their cells reset;
-    missing keys return zero/max-dist blocks with present=False.
-    """
+def _extract_impl(state, cfg, keys):
+    """Un-jitted body of :func:`extract_patches` (vmap-able over a particle
+    axis — see extract_patches_batch)."""
     slots = pool_mod.table_lookup(state.table, keys)
     present = slots >= 0
     trash = state.dist.shape[0] - 1
@@ -94,13 +89,27 @@ def extract_patches(state, cfg, keys):
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
-def inject_patches(state, cfg, keys, occ, vis, dist):
-    """Insert ``keys`` (int32[M], -1 padded) with the given cell blocks.
+def extract_patches(state, cfg, keys):
+    """Pull ``keys`` (int32[M], -1 padded) out of the pool.
 
-    Keys already live on device are left untouched (their content is newer
-    than the spilled copy). Returns (new_state, droppable bool[M]) where
-    droppable marks blobs now represented on device (safe to delete).
+    Returns (new_state, occ[M, L, L], vis[M, L, L], dist[M, L, L],
+    present bool[M]). Extracted slots are freed and their cells reset;
+    missing keys return zero/max-dist blocks with present=False.
     """
+    return _extract_impl(state, cfg, keys)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def extract_patches_batch(maps, cfg, keys):
+    """Vmapped :func:`extract_patches` over a leading particle axis:
+    ``maps`` arrays are [N, ...], ``keys`` int32[M] is one shared victim
+    list (keys a particle lacks come back present=False). Returns
+    (new_maps, occ[N, M, L, L], vis, dist, present[N, M])."""
+    return jax.vmap(lambda m: _extract_impl(m, cfg, keys))(maps)
+
+
+def _inject_impl(state, cfg, keys, occ, vis, dist):
+    """Un-jitted body of :func:`inject_patches` (vmap-able)."""
     pre = pool_mod.table_lookup(state.table, keys)
     cand = jnp.where(pre == pool_mod.EMPTY, keys, jnp.int32(-1))
     table, _ = pool_mod.table_insert(state.table, cand)
@@ -122,6 +131,25 @@ def inject_patches(state, cfg, keys, occ, vis, dist):
                                          mode="drop", unique_indices=True)
     return state._replace(table=table, occupied=occupied, visited=visited,
                           dist=dist_arr), droppable
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def inject_patches(state, cfg, keys, occ, vis, dist):
+    """Insert ``keys`` (int32[M], -1 padded) with the given cell blocks.
+
+    Keys already live on device are left untouched (their content is newer
+    than the spilled copy). Returns (new_state, droppable bool[M]) where
+    droppable marks blobs now represented on device (safe to delete).
+    """
+    return _inject_impl(state, cfg, keys, occ, vis, dist)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def inject_patches_batch(maps, cfg, keys, occ, vis, dist):
+    """Vmapped :func:`inject_patches`: per-particle key lists [N, M] (-1
+    where that particle has nothing to inject) and blocks [N, M, L, L]."""
+    return jax.vmap(lambda m, k, o, v, d: _inject_impl(m, cfg, k, o, v, d))(
+        maps, keys, occ, vis, dist)
 
 
 @jax.jit
@@ -158,6 +186,9 @@ class HostSpillStore:
         self.cache_miss = 0    # window key neither on device nor stored
         self.spills = 0
         self.refills = 0
+        # refill-window side in patches (subclasses widen it; PF must cover
+        # the RESIDENT window — re-orgs regather from the pool inside jit)
+        self._wp_refill = cfg.window_patches + 2 * margin_patches
         length = geo.patch_length
         occ_np = np.dtype(np.uint16 if cfg.occ_model == "frequency"
                           else np.float32)
@@ -198,7 +229,7 @@ class HostSpillStore:
         from .geometry import PKEY_BITS
         cell = self.geo.np_w2m(np.asarray(pose_xy, np.float64))
         l2 = self.geo.log2dim
-        wp = self.cfg.window_patches + 2 * self.margin
+        wp = self._wp_refill
         cp = cell >> l2
         org = cp - wp // 2
         px = (org[0] + np.arange(wp)).astype(np.int64)
@@ -213,8 +244,7 @@ class HostSpillStore:
         slack. Anything farther is provably outside the next update's
         window (which gets refilled anyway before each step)."""
         geo = self.geo
-        half_cells = (self.cfg.window_patches // 2 + self.margin + 1) \
-            * geo.patch_length
+        half_cells = (self._wp_refill // 2 + 1) * geo.patch_length
         return half_cells * geo.resolution
 
     def select_victims(self, active_keys: np.ndarray,
@@ -335,3 +365,154 @@ class HostSpillStore:
             dist=big.dist.at[islots].set(jnp.asarray(dist)),
         )
         return merged, big_cfg
+
+
+@jax.jit
+def snapshot_keys_batch(tables):
+    """int32[N, P] active patch keys per particle (one host pull)."""
+    return jax.vmap(snapshot_keys)(tables)
+
+
+class PFSpillStore(HostSpillStore):
+    """Per-particle compressed host stores for PFSlam2D.
+
+    reference parity: use_compression wires the compressor into EVERY
+    particle's occupancy+distance maps (src/pf_slam2d.cpp:201-204), and the
+    COW map clones share compressed patches between particles until they
+    diverge. Here: one compressed dict per particle; resampling shares
+    ancestral blobs via shallow-copied dicts. The driver keeps the composed
+    resample permutation on device (ParticleSet.spill_lineage) and calls
+    :meth:`permute` with it immediately before every settle (the stores
+    must be re-keyed with the same permutation the pool arrays realize).
+
+    The refill window covers the RESIDENT window (not just the update
+    window): re-orgs regather window patches from the pool inside the
+    jitted step, so every stored patch a re-org could touch must already be
+    back on device. Consequently the keep radius (never-spill zone) is the
+    resident half-extent + margin.
+    """
+
+    def __init__(self, cfg, geo, n_particles: int, codec: str = "lz4",
+                 high_water: float = 0.8, low_water: float = 0.55,
+                 margin_patches: int = 3):
+        super().__init__(cfg, geo, codec, high_water, low_water,
+                         margin_patches)
+        self.stores = [dict() for _ in range(n_particles)]
+        self._wp_refill = cfg.resident_window_patches + 2 * margin_patches
+
+    # -- store bookkeeping ----------------------------------------------------
+    def any_stored(self) -> bool:
+        return any(self.stores)
+
+    def stored_floor(self) -> int:
+        """min over particles of stored-key count: a safe lower bound on
+        how many potential keys are NOT live in any particle's pool."""
+        return min((len(st) for st in self.stores), default=0)
+
+    def permute(self, perm: np.ndarray) -> None:
+        """stores[i] <- copy(stores[perm[i]]) — apply the resample lineage
+        the pool settle is about to realize. Shallow copies share blobs
+        (the COW property)."""
+        old = self.stores
+        self.stores = [dict(old[int(j)]) for j in perm]
+
+    def need_refill(self, pose_xy: np.ndarray) -> bool:
+        need = self.window_keys_np(pose_xy)
+        needset = set(int(k) for k in need)
+        return any(needset.intersection(st) for st in self.stores)
+
+    # -- events ---------------------------------------------------------------
+    def spill_batch(self, maps, pose_xy: np.ndarray):
+        """Spill far patches of every particle (pools must be settled).
+        Returns (new_maps, spilled_any)."""
+        active = np.asarray(snapshot_keys_batch(maps.table))     # one pull
+        counts = (active >= 0).sum(1)
+        n_over = int(counts.max()) - self.low
+        if n_over <= 0:
+            return maps, False
+        union = np.unique(active[active >= 0]).astype(np.int32)
+        centers = self._key_centers(union)
+        d = np.linalg.norm(centers - np.asarray(pose_xy)[None, :], axis=1)
+        keep = self.keep_radius_m()
+        far = union[d > keep]
+        if len(far) == 0:
+            return maps, False
+        far = far[np.argsort(-d[d > keep])]          # farthest first
+        # smallest farthest-first prefix that brings every particle to low
+        member = (active[:, :, None] == far[None, None, :]).any(axis=1)
+        cum = member.cumsum(axis=1)                  # [N, F]
+        after = counts[:, None] - cum
+        ok = (after <= self.low).all(axis=0)
+        n_take = int(np.argmax(ok)) + 1 if ok.any() else len(far)
+        victims = np.sort(far[:n_take])
+        keys_pad = _pad_to_bucket(victims, -1)
+        maps, occ, vis, dist, present = extract_patches_batch(
+            maps, self.cfg, jnp.asarray(keys_pad))
+        occ_h = np.asarray(occ)
+        vis_h = np.asarray(vis)
+        dist_h = np.asarray(dist)
+        pres_h = np.asarray(present)
+        for i, st in enumerate(self.stores):
+            for m, k in enumerate(keys_pad):
+                if k >= 0 and pres_h[i, m]:
+                    st[int(k)] = self._pack(
+                        occ_h[i, m].astype(self._occ_np).tobytes(),
+                        vis_h[i, m].astype(np.uint16).tobytes(),
+                        dist_h[i, m].astype(np.float32).tobytes())
+        self.spills += 1
+        return maps, True
+
+    def refill_batch(self, maps, pose_xy: np.ndarray):
+        """Re-inject every stored patch the resident window could touch,
+        per particle (pools must be settled). Returns new maps."""
+        need = set(int(k) for k in self.window_keys_np(pose_xy))
+        hits_per = [sorted(need.intersection(st)) for st in self.stores]
+        union_hits = sorted(set().union(*map(set, hits_per)))
+        if not union_hits:
+            return maps
+        self.cache_hit += sum(len(h) for h in hits_per)
+        length = self.geo.patch_length
+        n = len(self.stores)
+        keys_pad = _pad_to_bucket(np.asarray(union_hits, np.int32), -1)
+        m = len(keys_pad)
+        keys = np.full((n, m), -1, np.int32)
+        occ = np.zeros((n, m, length, length), self._occ_np)
+        vis = np.zeros((n, m, length, length), np.uint16)
+        dist = np.zeros((n, m, length, length), np.float32)
+        for i, st in enumerate(self.stores):
+            for j, k in enumerate(union_hits):
+                if int(k) in st:
+                    keys[i, j] = k
+                    occ[i, j], vis[i, j], dist[i, j] = self._unpack(
+                        st[int(k)])
+        maps, droppable = inject_patches_batch(
+            maps, self.cfg, jnp.asarray(keys), jnp.asarray(occ),
+            jnp.asarray(vis), jnp.asarray(dist))
+        drop_h = np.asarray(droppable)
+        for i, st in enumerate(self.stores):
+            for j, k in enumerate(union_hits):
+                if keys[i, j] >= 0 and drop_h[i, j]:
+                    del st[int(k)]
+        self.refills += 1
+        return maps
+
+    def memory_usage(self) -> int:
+        """Compressed bytes, shared blobs counted once (COW sharing)."""
+        seen = set()
+        total = 0
+        for st in self.stores:
+            for b in st.values():
+                if id(b) not in seen:
+                    seen.add(id(b))
+                    total += len(b)
+        return total
+
+    def merged_map_particle(self, state_one, store_idx: int):
+        """Full single-particle map (device + that particle's stored
+        patches) for IO/export — see HostSpillStore.merged_map."""
+        saved = self.store
+        try:
+            self.store = self.stores[store_idx]
+            return self.merged_map(state_one)
+        finally:
+            self.store = saved
