@@ -68,6 +68,11 @@ class PFSlam2DOptions:
     strategy: str = "gn"
     seed: int = 0
     create_summary: bool = False
+    # Opt-in per-phase Summary (PFSlam2D::Summary parity: solve/normalize/
+    # resample/mapping timings, src/pf_slam2d.cpp:66-101). Splits the fused
+    # update into four programs with host syncs between — observability
+    # mode, off the hot path by default. Resident path only.
+    detailed_summary: bool = False
     # Compression knobs kept for 1:1 Options parity (slam2d.h:115-120).
     # On TPU the live pool stays uncompressed in HBM; these select the codec
     # used for host-side snapshots/checkpoints (utils/codec.py).
@@ -290,11 +295,10 @@ def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
     return new_set, info
 
 
-def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
-                             points, mask, origin):
-    """Resident-window PF update: identical math to :func:`pf_update_step`
-    but all per-update map work happens on the dense resident grids; the
-    patch pool is only exchanged on a (rare) re-org."""
+def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask):
+    """Phases 0-2 of the resident PF update: re-org cond + per-particle
+    scan match + likelihood. Returns ((maps, org, occ, vis, dist, lineage),
+    states, liks, match_iters, safe)."""
     cfg = opts.mapping_config()
     sopts = opts.solver_options()
     geo = cfg.geometry
@@ -372,10 +376,15 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
         return res_state, jnp.sum(-(d * d) / opts.meas_sigma), res_iters
 
     states, liks, match_iters = jax.vmap(match_one)(dist, pset.pose)
+    return (maps, org, occ, vis, dist, lineage), states, liks, \
+        match_iters, safe
 
-    # 3-4. weights + resampling (resident grids follow the lineage gather)
-    idx, pose, weight, weight_sum, nw, neff, do_resample = \
-        _weights_and_resample(opts, pset, key, states, liks)
+
+def _pf_resample_phase(opts: PFSlam2DOptions, pset: ParticleSet, mid, idx,
+                       do_resample):
+    """Phase 4b: apply the resample permutation — deferred pool lineage
+    composition + cond-gated resident-grid gathers."""
+    maps, org, occ, vis, dist, lineage = mid
     spill_lineage = pset.spill_lineage
     if not _DEBUG_NO_LINEAGE:
         # pool maps: defer — compose the permutation (settled at re-org).
@@ -390,14 +399,44 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
             lambda ovd: tuple(a[idx] for a in ovd),
             lambda ovd: ovd,
             (occ, vis, dist))
+    return (maps, org, occ, vis, dist, lineage), spill_lineage
 
-    # 5. per-particle map update — elementwise on the resident grids
+
+def _pf_map_phase(opts: PFSlam2DOptions, org, occ, vis, dist, pose,
+                  points, mask, origin):
+    """Phase 5: per-particle map update — elementwise on resident grids."""
+    cfg = opts.mapping_config()
+
     def upd(o, v, d, p):
         o2, v2, d2, _ = mapping.resident_update(cfg, org, o, v, d, p,
                                                 points, mask, origin)
         return o2, v2, d2
 
-    occ, vis, dist = jax.vmap(upd)(occ, vis, dist, pose)
+    return jax.vmap(upd)(occ, vis, dist, pose)
+
+
+def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
+                             points, mask, origin):
+    """Resident-window PF update: identical math to :func:`pf_update_step`
+    but all per-update map work happens on the dense resident grids; the
+    patch pool is only exchanged on a (rare) re-org. Composed from the
+    phase helpers above (the opt-in detailed-summary mode jits each phase
+    separately for reference-parity per-phase timing)."""
+    cfg = opts.mapping_config()
+    geo = cfg.geometry
+
+    mid, states, liks, match_iters, safe = _pf_match_phase(
+        opts, pset, points, mask)
+
+    # 3-4. weights + resampling (resident grids follow the lineage gather)
+    idx, pose, weight, weight_sum, nw, neff, do_resample = \
+        _weights_and_resample(opts, pset, key, states, liks)
+    mid, spill_lineage = _pf_resample_phase(opts, pset, mid, idx,
+                                            do_resample)
+    maps, org, occ, vis, dist, lineage = mid
+
+    occ, vis, dist = _pf_map_phase(opts, org, occ, vis, dist, pose,
+                                   points, mask, origin)
 
     new_set = ParticleSet(pose, weight, weight_sum, nw, maps,
                           org, occ, vis, dist, lineage, spill_lineage)
@@ -568,6 +607,48 @@ def _make_programs(opts: PFSlam2DOptions):
 
         return jax.jit(unroll, donate_argnums=(0,))
 
+    # ---- opt-in detailed-summary phase programs (PFSlam2D::Summary
+    # parity) — same phase helpers the fused update composes ----------------
+    def split_match(pset, key, odeltas, valids, pts, msk):
+        pose, key = _motion_scan(opts, pset.pose, key, odeltas, valids)
+        k1, k2 = jax.random.split(key)
+        pset = pset._replace(pose=pose)
+        mid, states, liks, match_iters, safe = _pf_match_phase(
+            opts, pset, pts, msk)
+        return pset, mid, states, liks, match_iters, safe, k1, k2
+
+    def split_norm(pset, k1, states, liks):
+        return _weights_and_resample(opts, pset, k1, states, liks)
+
+    def split_resample(pset, mid, idx, do_resample):
+        return _pf_resample_phase(opts, pset, mid, idx, do_resample)
+
+    def split_map(mid, spill_lineage, pose, weight, weight_sum, nw, pts,
+                  msk, org3, match_iters, safe, neff, do_resample):
+        maps, org, occ, vis, dist, lineage = mid
+        occ, vis, dist = _pf_map_phase(opts, org, occ, vis, dist, pose,
+                                       pts, msk, org3)
+        cfg = opts.mapping_config()
+        geo = cfg.geometry
+        new_set = ParticleSet(pose, weight, weight_sum, nw, maps, org,
+                              occ, vis, dist, lineage, spill_lineage)
+        escaped = jnp.sum(~mapping.resident_safe(cfg, org,
+                                                 geo.w2m(pose[:, :2])))
+        info = {"neff": neff, "resampled": do_resample, "reorged": ~safe,
+                "escaped": escaped,
+                "overflow": jnp.max(maps.table.overflow),
+                "match_iters_max": jnp.max(match_iters),
+                "match_iters_mean": jnp.mean(
+                    match_iters.astype(jnp.float32))}
+        return new_set, info
+
+    split = {
+        "match": jax.jit(split_match, donate_argnums=(0,)),
+        "norm": jax.jit(split_norm),
+        "resample": jax.jit(split_resample),
+        "map": jax.jit(split_map),
+    }
+
     return (
         jax.jit(motion, donate_argnums=(0,)),
         jax.jit(update, donate_argnums=(0,)),
@@ -579,6 +660,7 @@ def _make_programs(opts: PFSlam2DOptions):
                 opts, pset, key, od, pts, msk, org, dos, valids),
             donate_argnums=(0,)),
         make_unroll,
+        split,
     )
 
 
@@ -626,7 +708,8 @@ class PFSlam2D:
 
     def _build(self):
         (self._jit_motion, self._jit_update, self._jit_first,
-         self._jit_chunk, self._make_unroll) = _make_programs(self.options)
+         self._jit_chunk, self._make_unroll,
+         self._jit_split) = _make_programs(self.options)
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
@@ -680,6 +763,11 @@ class PFSlam2D:
         if self._pf_spill is not None:
             self._pf_spill_hooks(odometry)   # refill near / spill far
 
+        if (self.summary is not None and opts.detailed_summary
+                and self.pset.res_org is not None):
+            self._update_detailed(points, mask, origin, timestamp, t0)
+            return True
+
         # 2-5. queued motion + fused device update, ONE dispatch
         od, valids = self._queued()
         self.pset, info, self.key = self._jit_update(self.pset, self.key,
@@ -692,6 +780,44 @@ class PFSlam2D:
             self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
                                memory=self.memory_usage())
         return True
+
+    def _update_detailed(self, points, mask, origin, timestamp: float,
+                         t0: float) -> None:
+        """Four-phase update with host syncs between — real per-phase
+        Summary rows (PFSlam2D::Summary parity, src/pf_slam2d.cpp:66-101);
+        ~4x dispatch overhead, observability mode only
+        (``PFSlam2DOptions.detailed_summary``)."""
+        sp = self._jit_split
+        od, valids = self._queued()
+        ts = time.perf_counter()
+        (pset, mid, states, liks, match_iters, safe, k1,
+         self.key) = sp["match"](self.pset, self.key, od, valids, points,
+                                 mask)
+        jax.block_until_ready(liks)
+        t_solve = time.perf_counter() - ts
+
+        tn = time.perf_counter()
+        idx, pose, weight, weight_sum, nw, neff, do_resample = sp["norm"](
+            pset, k1, states, liks)
+        jax.block_until_ready(nw)
+        t_norm = time.perf_counter() - tn
+
+        tr = time.perf_counter()
+        mid, spill_lineage = sp["resample"](pset, mid, idx, do_resample)
+        jax.block_until_ready(mid[4])
+        t_res = time.perf_counter() - tr
+
+        tm = time.perf_counter()
+        self.pset, info = sp["map"](mid, spill_lineage, pose, weight,
+                                    weight_sum, nw, points, mask, origin,
+                                    match_iters, safe, neff, do_resample)
+        self._last_info_dev = info
+        jax.block_until_ready(self.pset.res_dist)
+        t_map = time.perf_counter() - tm
+        self.summary.probe(timestamp, time.perf_counter() - t0,
+                           solving=t_solve, normalizing=t_norm,
+                           resampling=t_res, mapping=t_map,
+                           memory=self.memory_usage())
 
     def update_many_prepadded(self, staged, odoms, chunk: int = 8) -> list:
         """Replay a pre-staged offline log, one device dispatch per

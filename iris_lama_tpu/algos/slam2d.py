@@ -49,6 +49,12 @@ class Slam2DOptions:
     strategy: str = "gn"
     transient_map: bool = False
     create_summary: bool = False
+    # Opt-in per-phase Summary (reference parity: Slam2D::Summary splits
+    # solving vs mapping, src/slam2d.cpp:61-87). The production step is ONE
+    # fused program (solve+map), so phase timings require a two-program
+    # step with a host sync between — ~2x dispatch overhead; off the hot
+    # path by default. Resident path only.
+    detailed_summary: bool = False
     # Compression knobs kept for 1:1 Options parity (slam2d.h:115-120).
     # On TPU the live pool stays uncompressed in HBM; these select the codec
     # used for host-side snapshots/checkpoints (utils/codec.py).
@@ -169,8 +175,9 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
     w_res = cfg.resident_window_cells
     ws_m = cfg.match_window_cells
 
-    def raw_step(state, org, occ, vis, dist, pose_prev, odelta, points,
-                 mask, origin):
+    def solve_part(state, org, occ, vis, dist, pose_prev, odelta, points,
+                   mask):
+        """Predict + (maybe) re-org + scan match."""
         pose0 = lie.se2_compose(pose_prev, odelta)
         p0cell = geo.w2m(pose0[:2])
         safe = mapping.resident_safe(cfg, org, p0cell)
@@ -194,18 +201,29 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
             m_org = org + start
         res = match.solve_window(dist_m, m_org, geo, max_dist,
                                  points[:, :2], mask, pose0, sopts)
+        return state, org, occ, vis, dist, res, safe
 
+    def map_part(state, org, occ, vis, dist, pose, points, mask, origin):
+        """Rasterize the scan + transient pruning."""
         occ, vis, dist, n_cells = mapping.resident_update(
-            cfg, org, occ, vis, dist, res.state, points, mask, origin)
+            cfg, org, occ, vis, dist, pose, points, mask, origin)
         if cfg.transient:
             # transient pruning, resident form: reset non-kept window
             # patches in place and prune out-of-window pool patches —
             # per-scan, exactly like the pool path (slam2d.cpp:323-373).
-            g = mapping.beam_geometry(cfg, res.state, points, mask, origin)
-            ac, ah = mapping.transient_keep_aabb(cfg, res.state, g)
+            g = mapping.beam_geometry(cfg, pose, points, mask, origin)
+            ac, ah = mapping.transient_keep_aabb(cfg, pose, g)
             occ, vis, dist = mapping.resident_transient_reset(
                 cfg, org, occ, vis, dist, ac, ah)
             state = mapping.prune_transient_pool(state, cfg, ac, ah)
+        return state, occ, vis, dist, n_cells
+
+    def raw_step(state, org, occ, vis, dist, pose_prev, odelta, points,
+                 mask, origin):
+        state, org, occ, vis, dist, res, safe = solve_part(
+            state, org, occ, vis, dist, pose_prev, odelta, points, mask)
+        state, occ, vis, dist, n_cells = map_part(
+            state, org, occ, vis, dist, res.state, points, mask, origin)
         info = {"iterations": res.iterations, "chi2": res.chi2,
                 "processed_cells": n_cells,
                 "num_patches": state.table.num_patches(),
@@ -298,11 +316,24 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
 
         return jax.jit(unroll_step, donate_argnums=(0, 2, 3, 4, 6))
 
+    def split_map(state, org, occ, vis, dist, pose, points, mask, origin,
+                  traj, k):
+        """Map half of the opt-in two-program detailed-summary mode."""
+        state, occ, vis, dist, n_cells = map_part(
+            state, org, occ, vis, dist, pose, points, mask, origin)
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(pose)
+        info = {"processed_cells": n_cells,
+                "num_patches": state.table.num_patches(),
+                "overflow": state.table.overflow}
+        return state, occ, vis, dist, traj, info
+
     return (jax.jit(step, donate_argnums=(0, 2, 3, 4, 10)),
             jax.jit(first_step, donate_argnums=(1, 2, 3)),
             jax.jit(flush, donate_argnums=(0,)),
             jax.jit(chunk_step, donate_argnums=(0, 2, 3, 4, 6)),
-            make_unroll)
+            make_unroll,
+            jax.jit(solve_part),
+            jax.jit(split_map))
 
 
 class Slam2D:
@@ -430,6 +461,11 @@ class Slam2D:
         if self._spill is not None:
             self._spill_hooks(odometry)        # refill window / spill far
         self.odom_ = odometry
+        if (self.summary is not None and self.options.detailed_summary
+                and self._resident):
+            self._do_step_detailed(odelta, points, mask, origin,
+                                   timestamp, t0)
+            return True
         self._do_step(odelta, points, mask, origin)
 
         if self.summary:
@@ -438,6 +474,39 @@ class Slam2D:
             self.summary.probe(timestamp, dt, solving=dt, mapping=dt,
                                memory=self.memory_usage())
         return True
+
+    def _do_step_detailed(self, odelta: Pose2D, points, mask, origin,
+                          timestamp: float, t0: float) -> None:
+        """Two-program step with a host sync between solve and map — real
+        per-phase Summary timings (src/slam2d.cpp:61-87 parity), paid for
+        with one extra dispatch per scan. Enabled by
+        ``Slam2DOptions.detailed_summary``."""
+        od = jnp.asarray(odelta.se2_array())
+        k = jnp.int32(self._n_updates)
+        ts = time.perf_counter()
+        (self._map, self._res_org, occ, vis, dist, res,
+         _safe) = self._split_solve(
+            self._map, self._res_org, self._res_occ, self._res_vis,
+            self._res_dist, self._pose_dev, od, points, mask)
+        jax.block_until_ready(res.state)
+        t_solve = time.perf_counter() - ts
+        tm = time.perf_counter()
+        (self._map, self._res_occ, self._res_vis, self._res_dist,
+         self._traj, info) = self._split_map(
+            self._map, self._res_org, occ, vis, dist, res.state, points,
+            mask, origin, self._traj, k)
+        self._pose_dev = res.state
+        self._pose_host = None
+        self._res_dirty = True
+        info = dict(info)
+        info["iterations"] = res.iterations
+        self._last_info_dev = info
+        self._n_updates += 1
+        jax.block_until_ready(self._res_dist)
+        t_map = time.perf_counter() - tm
+        self.summary.probe(timestamp, time.perf_counter() - t0,
+                           solving=t_solve, mapping=t_map,
+                           memory=self.memory_usage())
 
     def _do_first(self, points, mask, origin) -> None:
         if self._resident:
@@ -508,11 +577,13 @@ class Slam2D:
     def _build_programs(self) -> None:
         if self._resident:
             (self._step, self._first, self._flush, self._chunk,
-             self._make_unroll) = _make_step_resident(self.cfg, self.sopts)
+             self._make_unroll, self._split_solve,
+             self._split_map) = _make_step_resident(self.cfg, self.sopts)
         else:
             self._step, self._first = _make_step(self.cfg, self.sopts)
             self._chunk = None
             self._make_unroll = None
+            self._split_solve = self._split_map = None
 
     def update_many_prepadded(self, staged, odoms,
                               chunk: int = 32) -> list:

@@ -252,3 +252,23 @@ def test_pf_sharded_step_runs_on_mesh():
     # particle axis is actually sharded over the mesh
     shard_devs = {s.device for s in pset2.pose.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_pf_detailed_summary_phase_split():
+    """Opt-in four-phase mode restores solve/normalize/resample/mapping
+    Summary rows (VERDICT r2 #8; src/pf_slam2d.cpp:66-101)."""
+    data = _sim(n_steps=30)
+    slam = pf.PFSlam2D(_opts(seed=5, create_summary=True,
+                             detailed_summary=True, meas_sigma_gain=1.0))
+    slam.set_prior(Pose2D(*data.poses_gt[0]))
+    for k in range(len(data.clouds)):
+        slam.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+    s = slam.summary
+    assert len(s.time_total) > 3
+    assert sum(s.time_solving[1:]) > 0
+    assert sum(s.time_normalizing[1:]) > 0
+    assert sum(s.time_resampling[1:]) > 0
+    assert sum(s.time_mapping[1:]) > 0
+    rep = s.report()
+    for row in ("solving", "normalizing", "resampling", "mapping"):
+        assert row in rep

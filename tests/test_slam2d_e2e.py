@@ -248,3 +248,35 @@ def test_resident_transient_matches_pool_path():
     # the run must actually exercise pruning (pool stays far below the
     # visited-world patch total) and at least one resident re-org
     assert len(cr) < 700, len(cr)
+
+
+def test_detailed_summary_phase_split():
+    """Opt-in two-program mode restores real solving-vs-mapping rows
+    (VERDICT r2 #8; reference Summary split src/slam2d.cpp:61-87)."""
+    cfg = simulator.SimConfig(n_steps=25, seed=2,
+                              laser=simulator.LaserSpec(n_beams=120,
+                                                        max_range=8.0))
+    data = simulator.simulate(cfg)
+    from iris_lama_tpu.core.pose import Pose2D
+    slam = Slam2D(Slam2DOptions(resolution=0.1, patch_size=16,
+                                max_range=8.0, trans_thresh=0.2,
+                                rot_thresh=0.2, capacity=1024,
+                                create_summary=True,
+                                detailed_summary=True))
+    slam.set_prior(Pose2D(*data.poses_gt[0]))
+    est = []
+    for k in range(cfg.n_steps):
+        if slam.update(data.clouds[k], data.odometry[k],
+                       data.timestamps[k]):
+            est.append(slam.pose().xyr())
+    s = slam.summary
+    n = len(s.time_total)
+    assert n > 5
+    # phases measured separately and both nonzero (not the fused copy)
+    assert sum(s.time_solving[1:]) > 0 and sum(s.time_mapping[1:]) > 0
+    assert any(abs(a - b) > 1e-9 for a, b in
+               zip(s.time_solving[1:], s.time_mapping[1:]))
+    assert "solving" in s.report() and "mapping" in s.report()
+    # and the trajectory still tracks (split == fused math)
+    gt = np.asarray(data.poses_gt[:len(est)])
+    assert np.linalg.norm(np.asarray(est)[-1][:2] - gt[-1][:2]) < 0.5
