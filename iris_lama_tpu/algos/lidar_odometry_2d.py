@@ -5,11 +5,20 @@ scan-to-local-map tracking with a ProbabilisticOccupancyMap + 1 m-max
 distance field, rays truncated to the last meter before the hit
 (lidar_odometry_2d.cpp:104-113), maps always transient (1x AABB expansion,
 :131-182), map refresh every 0.1 m / 0.5 rad of estimated motion (:73-80).
+
+TPU architecture (r3): the whole per-scan pass — scan match + the
+data-dependent map-refresh gate + the gated map update — is ONE jitted
+program (`lax.cond` on the device-computed motion delta). The pose stays on
+device in a trajectory ring like Slam2D's; the reference's per-scan
+``getPose()`` read maps to :meth:`pose` (one pull, on demand). The r2
+driver paid one device->host pose pull per scan (~30 ms on the tunnel) plus
+two dispatches; this pays one dispatch and zero pulls.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -50,8 +59,58 @@ class LidarOdometry2DOptions:
         )
 
 
+@functools.lru_cache(maxsize=None)
+def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
+    """Fused per-scan program, lru-cached across driver instances (fresh
+    jit wrappers re-load byte-identical executables — seconds each on the
+    remote-TPU runtime)."""
+    geo = cfg.geometry
+    wp = cfg.window_patches
+    max_dist = cfg.distance.max_dist
+
+    def step(state, pose_prev, map_odom, points, mask, origin, traj, k):
+        # 1. scan match against the local map (lidar_odometry_2d.cpp:63-71)
+        org = win_mod.window_org(geo, geo.w2m(pose_prev[:2]), wp)
+        keys = win_mod.window_patch_keys(geo, org, wp)
+        grid, _ = win_mod.gather_window(state.table, state.dist, keys,
+                                        max_dist)
+        res = match.solve_window(grid, org, geo, max_dist, points[:, :2],
+                                 mask, pose_prev, sopts)
+        pose = res.state
+
+        # 2. map refresh gate on the ESTIMATED motion since the last map
+        #    update (.cpp:73-80) — data-dependent, so a device-side cond
+        import iris_lama_tpu.core.lie as lie
+        delta = lie.se2_compose(lie.se2_inverse(map_odom), pose)
+        dist_moved = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2)
+        rot_moved = jnp.abs(jnp.arctan2(delta[3], delta[2]))
+        refresh = (dist_moved > 0.1) | (rot_moved > 0.5)
+
+        def do_update(op):
+            state, _ = op
+            new_state, _ = mapping.update_maps(state, cfg, pose, points,
+                                               mask, origin)
+            return new_state, pose
+
+        state, map_odom = jax.lax.cond(refresh, do_update,
+                                       lambda op: op, (state, map_odom))
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(pose)
+        return state, pose, map_odom, traj, {"iterations": res.iterations,
+                                             "refresh": refresh}
+
+    def first_step(state, pose0, points, mask, origin):
+        new_state, _ = mapping.update_maps(state, cfg, pose0, points, mask,
+                                           origin)
+        return new_state
+
+    return (jax.jit(step, donate_argnums=(0, 6)),
+            jax.jit(first_step, donate_argnums=(0,)))
+
+
 class LidarOdometry2D:
     """Host driver; mirrors the reference API (lidar_odometry_2d.h:50-76)."""
+
+    TRAJ_CAP = 16384
 
     def __init__(self, options: LidarOdometry2DOptions = LidarOdometry2DOptions()):
         self.options = options
@@ -59,65 +118,60 @@ class LidarOdometry2D:
         self.sopts = SolverOptions(max_iterations=options.max_iter,
                                    strategy="gn", robust=CAUCHY_SCAN)
         self.map = mapping.slam_map_init(self.cfg)
-        self.odom = Pose2D()
-        self.map_update_odom = Pose2D()
         self.has_first_scan = False
         self._max_beams = options.max_beams
-        self._solve = None
-        self._update = None
+        self._step = None
+        self._pose_dev = jnp.asarray(Pose2D().se2_array())
+        self._map_odom_dev = jnp.asarray(Pose2D().se2_array())
+        self._pose_host = Pose2D()
+        self._traj = jnp.zeros((self.TRAJ_CAP, 4), jnp.float32)
+        self._n_updates = 0
+        self._last_info_dev = {}
 
     def pose(self) -> Pose2D:
-        return self.odom
+        """Current estimate (syncs device->host when stale)."""
+        if self._pose_host is None:
+            self._pose_host = Pose2D.from_se2_array(
+                np.asarray(self._pose_dev))
+        return self._pose_host
+
+    def trajectory(self) -> np.ndarray:
+        """All matched poses so far, [n, 3] xyr — one device pull."""
+        n = min(self._n_updates, self.TRAJ_CAP)
+        t = np.asarray(self._traj[:n])
+        return np.stack([t[:, 0], t[:, 1],
+                         np.arctan2(t[:, 3], t[:, 2])], -1)
 
     def _build(self):
-        cfg, sopts = self.cfg, self.sopts
-        geo = cfg.geometry
-        wp = cfg.window_patches
-        max_dist = cfg.distance.max_dist
-
-        def solve(state, pose0, pts, msk):
-            org = win_mod.window_org(geo, geo.w2m(pose0[:2]), wp)
-            keys = win_mod.window_patch_keys(geo, org, wp)
-            grid, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                            max_dist)
-            res = match.solve_window(grid, org, geo, max_dist, pts[:, :2],
-                                     msk, pose0, sopts)
-            return res.state
-
-        def update(state, pose, pts, msk, org3):
-            new_state, info = mapping.update_maps(state, cfg, pose, pts,
-                                                  msk, org3)
-            return new_state
-
-        self._solve = jax.jit(solve)
-        self._update = jax.jit(update, donate_argnums=(0,))
+        self._step, self._first = _make_step(self.cfg, self.sopts)
 
     def update(self, cloud: PointCloudXYZ, timestamp: float = 0.0) -> bool:
         """lidar_odometry_2d.cpp:59-81."""
         if self._max_beams == 0:
             self._max_beams = beam_bucket(len(cloud.points))
-        if self._solve is None:
-            self._build()
-
         points, mask, origin = pad_scan(cloud, self._max_beams)
-        points = jnp.asarray(points)
-        mask = jnp.asarray(mask)
-        origin = jnp.asarray(origin)
+        return self.update_prepadded(jnp.asarray(points), jnp.asarray(mask),
+                                     jnp.asarray(origin), timestamp)
 
+    def update_prepadded(self, points, mask, origin,
+                         timestamp: float = 0.0) -> bool:
+        """One fused dispatch per scan; pose stays on device."""
+        if self._max_beams == 0:
+            self._max_beams = points.shape[0]
+        if self._step is None:
+            self._build()
         if not self.has_first_scan:
-            self.map = self._update(self.map, jnp.asarray(
-                self.odom.se2_array()), points, mask, origin)
+            self.map = self._first(self.map, self._pose_dev, points, mask,
+                                   origin)
+            self._traj = self._traj.at[0].set(self._pose_dev)
+            self._n_updates = 1
             self.has_first_scan = True
             return True
-
-        state = self._solve(self.map, jnp.asarray(self.odom.se2_array()),
-                            points, mask)
-        self.odom = Pose2D.from_se2_array(np.asarray(state))
-
-        odelta = self.map_update_odom - self.odom
-        if (np.linalg.norm(odelta.xy()) > 0.1 or
-                abs(odelta.rotation()) > 0.5):
-            self.map = self._update(self.map, jnp.asarray(
-                self.odom.se2_array()), points, mask, origin)
-            self.map_update_odom = self.odom
+        (self.map, self._pose_dev, self._map_odom_dev, self._traj,
+         info) = self._step(self.map, self._pose_dev, self._map_odom_dev,
+                            points, mask, origin, self._traj,
+                            jnp.int32(self._n_updates))
+        self._pose_host = None
+        self._last_info_dev = info
+        self._n_updates += 1
         return True
