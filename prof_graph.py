@@ -46,14 +46,15 @@ def main():
         kps = gs.key_poses
         jax.block_until_ready(gs.slam._pose_dev)
         el = time.perf_counter() - t0
-        return gs.slam._n_updates / el
+        return gs.slam._n_updates / el, dict(gs.stats)
 
     # warmups
-    bare(9); bare(9, transient=False); pipeline(9)
+    pipeline(9)
     out = {}
-    out["bare_transient"] = [round(bare(r), 1) for r in range(3)]
-    out["bare_plain"] = [round(bare(r, False), 1) for r in range(3)]
-    out["pipeline"] = [round(pipeline(r), 1) for r in range(3)]
+    rows = [pipeline(r) for r in range(3)]
+    out["pipeline"] = [round(r[0], 1) for r in rows]
+    out["stats"] = [{k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in r[1].items()} for r in rows]
     print(json.dumps(out))
 
 main()
