@@ -119,6 +119,10 @@ class GraphSlam2D:
         self._k_synced = 0              # updates consumed by the key gate
         self._since_sync = 0
         self._last_key_dev = None       # device register: last key raw pose
+        # in-flight async verification batches + coarse retry queue
+        self._pending: List[dict] = []
+        self._coarse_jobs: List[tuple] = []
+        self._jit_coarse_batch = None
         # lightweight phase counters (host wall seconds / call counts)
         self.stats: dict = {}
 
@@ -137,18 +141,18 @@ class GraphSlam2D:
 
     @property
     def key_poses(self) -> List[KeyPose]:
-        self._sync()
+        self._sync(drain=True)
         return self._key_poses
 
     @property
     def links(self) -> List[tuple]:
-        self._sync()
+        self._sync(drain=True)
         return self._links
 
     # -- loop-closure kernels ------------------------------------------------
     def _build_kernels(self):
         (self._jit_correlate_batch, self._jit_key_scan,
-         self._jit_coarse) = _make_graph_kernels(
+         self._jit_coarse_batch) = _make_graph_kernels(
             self.slam.cfg, self.options.key_pose_distance,
             self.options.key_pose_angular_distance)
 
@@ -211,44 +215,52 @@ class GraphSlam2D:
         return cm()
 
     # -- deferred key-pose sync ---------------------------------------------
-    def _sync(self) -> None:
-        """Replay the key-pose gate over new trajectory entries, create the
-        fired key poses, verify their loop-closure candidates (one batched
-        dispatch + one pull), and optimize when thresholds are met."""
+    def _sync(self, drain: bool = False) -> None:
+        """One sync round: harvest last round's verification results
+        (their device compute overlapped the front-end slice — the pull now
+        costs one round trip), replay the key-pose gate over new trajectory
+        entries, create the fired key poses, dispatch their loop-closure
+        verification batch (async), and optimize when thresholds are met.
+        ``drain=True`` additionally blocks until every in-flight
+        verification is resolved (public reads / optimize entry points)."""
         self._since_sync = 0
-        n_new = self.slam._n_updates - self._k_synced
-        if n_new <= 0:
-            return
         if self._jit_key_scan is None:
             self._build_kernels()
-        new_queries = []
-        if self._last_key_dev is None:
-            # key pose 0: the first update's matched pose IS the prior
-            # (graph_slam2d.cpp:196-198 first-key special case)
-            self._last_key_dev = jnp.asarray(self._prior.se2_array(),
-                                             jnp.float32)
-            q = self._create_key(0, self._prior)
-            if q is not None:
-                new_queries.append(q)
-        while n_new > 0:
-            take = min(n_new, KEY_SCAN_S)
-            with self._timed("key_scan"):
-                packed, self._last_key_dev = self._jit_key_scan(
-                    self.slam._traj, jnp.int32(self._k_synced),
-                    jnp.int32(take), self._last_key_dev)
-                data = np.asarray(packed)      # ONE device->host pull
-            for row in data[:int(data[-1, 0])]:
-                q = self._create_key(int(row[0]),
-                                     Pose2D.from_se2_array(row[1:5]))
+        with self._timed("process_pending"):
+            self._process_pending()
+        n_new = self.slam._n_updates - self._k_synced
+        if n_new > 0:
+            new_queries = []
+            if self._last_key_dev is None:
+                # key pose 0: the first update's matched pose IS the prior
+                # (graph_slam2d.cpp:196-198 first-key special case)
+                self._last_key_dev = jnp.asarray(self._prior.se2_array(),
+                                                 jnp.float32)
+                q = self._create_key(0, self._prior)
                 if q is not None:
                     new_queries.append(q)
-            self._k_synced += take
-            n_new -= take
-        self._scan_buf = {k: v for k, v in self._scan_buf.items()
-                          if k >= self._k_synced}
-        if new_queries:
-            with self._timed("close_loops"):
-                self._close_loops(new_queries)
+            while n_new > 0:
+                take = min(n_new, KEY_SCAN_S)
+                with self._timed("key_scan"):
+                    packed, self._last_key_dev = self._jit_key_scan(
+                        self.slam._traj, jnp.int32(self._k_synced),
+                        jnp.int32(take), self._last_key_dev)
+                    data = np.asarray(packed)   # ONE device->host pull
+                for row in data[:int(data[-1, 0])]:
+                    q = self._create_key(int(row[0]),
+                                         Pose2D.from_se2_array(row[1:5]))
+                    if q is not None:
+                        new_queries.append(q)
+                self._k_synced += take
+                n_new -= take
+            self._scan_buf = {k: v for k, v in self._scan_buf.items()
+                              if k >= self._k_synced}
+            if new_queries:
+                with self._timed("close_loops"):
+                    self._dispatch_verification(new_queries)
+        if drain:
+            with self._timed("process_pending"):
+                self._process_pending(drain=True)
         # optimize cadence (cpp:275-279)
         if self._factor_queue > 0 and (self._factor_queue > 5 or
                                        self.factordist > 15.0):
@@ -282,14 +294,15 @@ class GraphSlam2D:
             return None
         return keyid - opts.key_pose_head_delay
 
-    def _close_loops(self, query_ids) -> None:
-        """Loop-closure search + batched verification for the sync window's
-        query key poses; acceptance order per query is the reference's:
-        fine(0), coarse(0) if fine(0) failed, fine(1), fine(2), ...
-        (graph_slam2d.cpp:248-273 with the rank-0-only coarse fallback);
-        at most one accepted factor per query (cpp:273)."""
+    def _dispatch_verification(self, query_ids) -> None:
+        """Candidate search + ONE async batched dual-hypothesis dispatch
+        for all (query, candidate) pairs of this sync window. Inputs are
+        snapshotted in the slam (raw) frame at dispatch time; results are
+        harvested at the next sync (or drain), after their device compute
+        overlapped the next front-end slice."""
         opts = self.options
-        pairs = []          # (query_id, cand_id) in per-query rank order
+        inv_corr = self.correction.inverse()
+        rows = []   # (qid, cid, ref_pose_raw, cand_pose_raw), rank order
         for qid in query_ids:
             # adaptive radius (cpp:236-237)
             r = min(self.accdist, 100.0) / 100.0
@@ -297,36 +310,119 @@ class GraphSlam2D:
                       opts.loop_search_min_distance ** (1.0 - r))
             cands = self._find_candidates(self._key_poses[qid].pose.xy(),
                                           radius, qid)
-            pairs.extend((qid, cid) for cid in cands)
-        if not pairs:
+            ref_pose = inv_corr + self._key_poses[qid].pose
+            for cid in cands:
+                cand_pose = inv_corr + self._key_poses[cid].pose
+                rows.append((qid, cid, ref_pose, cand_pose))
+        if not rows:
             return
-        states, errs = self._verify_pairs(pairs)
+        for off in range(0, len(rows), 32):
+            chunk = rows[off:off + 32]
+            k = next(b for b in (8, 16, 32) if len(chunk) <= b)
+            padded = (chunk + [chunk[0]] * k)[:k]
+            cand_poses = np.stack([c[3].se2_array() for c in padded])
+            hypos = np.stack([Pose2D(c[2].x(), c[2].y(),
+                                     c[3].rotation()).se2_array()
+                              for c in padded])
+            pts = np.stack([self._key_poses[c[1]].points[:, :2]
+                            for c in padded])
+            msks = np.stack([self._key_poses[c[1]].mask for c in padded])
+            packed_dev = self._jit_correlate_batch(
+                self.slam.map,
+                jnp.asarray(cand_poses, jnp.float32),
+                jnp.asarray(hypos, jnp.float32),
+                jnp.asarray(pts), jnp.asarray(msks))   # ASYNC — no pull
+            self._pending.append({"kind": "verify", "dev": packed_dev,
+                                  "rows": chunk})
 
-        row = 0
-        for qid in query_ids:
-            rows = [i for i in range(len(pairs)) if pairs[i][0] == qid]
-            for rank, i in enumerate(rows):
-                state, err = states[i], errs[i]
-                cand_id = pairs[i][1]
-                if err > opts.loop_closure_scan_rmse:
-                    if rank == 0:
-                        state, err = self._coarse_correlate(qid, cand_id)
-                        if err > opts.loop_closure_scan_rmse * 2.0:
-                            continue
-                    else:
+    def _process_pending(self, drain: bool = False) -> None:
+        """Harvest in-flight verification batches. Acceptance order per
+        query is the reference's: fine(0), coarse(0) if fine(0) failed,
+        fine(1), fine(2), ... (graph_slam2d.cpp:248-273 with the
+        rank-0-only coarse fallback); at most one accepted factor per
+        query (cpp:273). Rank-0 failures queue a batched coarse dispatch
+        whose results resolve on the next harvest (immediately under
+        ``drain``)."""
+        n0 = len(self._pending)   # non-drain: only items dispatched BEFORE
+        processed = 0             # this round (fresh coarse waits a round)
+        while self._pending and (drain or processed < n0):
+            item = self._pending.pop(0)
+            processed += 1
+            packed = np.asarray(item["dev"])         # one pull per batch
+            if item["kind"] == "verify":
+                per_q: dict = {}
+                for i, row in enumerate(item["rows"]):
+                    per_q.setdefault(row[0], []).append((i, row))
+                for qid, entries in per_q.items():
+                    results = [(row[1], packed[i, :4], float(packed[i, 4]),
+                                row[2], row[3]) for i, row in entries]
+                    self._resolve_query(qid, results)
+                self._flush_coarse_jobs()
+            else:   # coarse results
+                for j, (qid, cid, refp, candp, remaining) in enumerate(
+                        item["jobs"]):
+                    state, err = packed[j, :4], float(packed[j, 4])
+                    if err <= (self.options.loop_closure_scan_rmse * 2.0):
+                        self._accept(qid, cid, state, refp)
                         continue
-                # between = matched^-1 * ref (cpp:353 with Pose2D operator-)
-                matched = Pose2D.from_se2_array(np.asarray(state))
-                ref_pose = self.correction.inverse() + self._key_poses[
-                    qid].pose
-                between = matched - ref_pose
-                self._builder.add_between(cand_id, qid,
-                                          between.se2_array(),
-                                          (0.5, 0.5, 0.1), huber_k=0.1)
-                self._links.append((cand_id, qid))
-                self._factor_queue += 1
-                self.factordist = 0.0
-                break   # only one factor per key pose (cpp:273)
+                    for cid2, st2, err2, refp2, _ in remaining:
+                        if err2 <= self.options.loop_closure_scan_rmse:
+                            self._accept(qid, cid2, st2, refp2)
+                            break
+        if drain and self._coarse_jobs:
+            self._flush_coarse_jobs()
+            self._process_pending(drain=True)
+
+    def _resolve_query(self, qid, results) -> None:
+        """results: [(cid, state, err, ref_raw, cand_raw)] in rank order."""
+        if not results:
+            return
+        cid, state, err, refp, candp = results[0]
+        if err <= self.options.loop_closure_scan_rmse:
+            self._accept(qid, cid, state, refp)
+            return
+        # one more chance, closest candidate only (cpp:255-259): coarse
+        # registration; ranks 1+ wait on its outcome (reference order)
+        self._coarse_jobs.append((qid, cid, refp, candp, results[1:]))
+
+    def _flush_coarse_jobs(self) -> None:
+        if not self._coarse_jobs:
+            return
+        jobs = self._coarse_jobs
+        self._coarse_jobs = []
+        for off in range(0, len(jobs), 4):
+            chunk = jobs[off:off + 4]
+            padded = (chunk + [chunk[0]] * 4)[:4]
+            ref_poses = np.stack([j[2].se2_array() for j in padded])
+            ref_pts = np.stack([self._key_poses[j[0]].points[:, :2]
+                                for j in padded])
+            ref_msks = np.stack([self._key_poses[j[0]].mask
+                                 for j in padded])
+            cand_poses = np.stack([j[3].se2_array() for j in padded])
+            pts = np.stack([self._key_poses[j[1]].points[:, :2]
+                            for j in padded])
+            msks = np.stack([self._key_poses[j[1]].mask for j in padded])
+            packed_dev = self._jit_coarse_batch(
+                self.slam.map, jnp.asarray(ref_poses, jnp.float32),
+                jnp.asarray(ref_pts), jnp.asarray(ref_msks),
+                jnp.asarray(cand_poses, jnp.float32), jnp.asarray(pts),
+                jnp.asarray(msks))                   # ASYNC — no pull
+            self._pending.append({"kind": "coarse", "dev": packed_dev,
+                                  "jobs": chunk})
+
+    def _accept(self, qid, cand_id, state, ref_pose) -> None:
+        """Add the accepted loop factor (cpp:266-272).
+
+        ``between = matched^-1 * ref`` (cpp:353 with Pose2D operator-):
+        both poses live in the snapshot's slam (raw) frame, so the relative
+        factor is correction-independent."""
+        matched = Pose2D.from_se2_array(np.asarray(state))
+        between = matched - ref_pose
+        self._builder.add_between(cand_id, qid, between.se2_array(),
+                                  (0.5, 0.5, 0.1), huber_k=0.1)
+        self._links.append((cand_id, qid))
+        self._factor_queue += 1
+        self.factordist = 0.0
 
     # -- helpers -------------------------------------------------------------
     def _find_candidates(self, query_xy, radius, query_id):
@@ -342,56 +438,10 @@ class GraphSlam2D:
         sel = [int(i) for i in order if d[i] <= radius and i != query_id]
         return sel[:self.options.loop_max_candidates]
 
-    def _verify_pairs(self, pairs):
-        """Dual-hypothesis verification of (query, candidate) pairs,
-        vmapped into device programs of ``loop_max_candidates`` rows
-        (padded — compiles once). Returns (states [P, 4] np, errs list)."""
-        if self._jit_correlate_batch is None:
-            self._build_kernels()
-        k_max = self.options.loop_max_candidates
-        inv_corr = self.correction.inverse()
-        all_states = np.zeros((len(pairs), 4), np.float32)
-        all_errs: List[float] = []
-        for off in range(0, len(pairs), k_max):
-            chunk = pairs[off:off + k_max]
-            cand_poses, hypos, pts, msks = [], [], [], []
-            for qid, cid in (chunk + [chunk[0]] * k_max)[:k_max]:
-                ref_pose = inv_corr + self._key_poses[qid].pose
-                cand_pose = inv_corr + self._key_poses[cid].pose
-                cand_poses.append(cand_pose.se2_array())
-                hypos.append(Pose2D(ref_pose.x(), ref_pose.y(),
-                                    cand_pose.rotation()).se2_array())
-                pts.append(self._key_poses[cid].points[:, :2])
-                msks.append(self._key_poses[cid].mask)
-            with self._timed("verify"):
-                packed = self._jit_correlate_batch(
-                    self.slam.map,
-                    jnp.asarray(np.stack(cand_poses), jnp.float32),
-                    jnp.asarray(np.stack(hypos), jnp.float32),
-                    jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
-                packed = np.asarray(packed)      # ONE device->host pull
-            all_states[off:off + len(chunk)] = packed[:len(chunk), :4]
-            all_errs.extend(float(e) for e in packed[:len(chunk), 4])
-        return all_states, all_errs
-
-    def _coarse_correlate(self, query_id, cand_id):
-        inv_corr = self.correction.inverse()
-        ref_pose = inv_corr + self._key_poses[query_id].pose
-        cand_pose = inv_corr + self._key_poses[cand_id].pose
-        ref = self._key_poses[query_id]
-        kp = self._key_poses[cand_id]
-        with self._timed("coarse"):
-            packed = np.asarray(self._jit_coarse(
-                self.slam.map, _se2(ref_pose),
-                jnp.asarray(ref.points[:, :2]),
-                jnp.asarray(ref.mask), _se2(cand_pose),
-                jnp.asarray(kp.points[:, :2]), jnp.asarray(kp.mask)))
-        return packed[:4], float(packed[4])
-
     def optimize_pose_graph(self) -> None:
-        """Public optimize entry (cpp:394-430): flush pending key events,
-        then solve unconditionally."""
-        self._sync()
+        """Public optimize entry (cpp:394-430): flush pending key events
+        and in-flight verifications, then solve unconditionally."""
+        self._sync(drain=True)
         self._optimize()
 
     def _optimize(self) -> None:
@@ -438,7 +488,7 @@ class GraphSlam2D:
         """
         from ..parallel import map_rebuild
 
-        self._sync()
+        self._sync(drain=True)
         cfg = dataclasses.replace(self.slam.cfg,
                                   capacity=4 * self.slam.cfg.capacity)
         if not self._key_poses:
@@ -468,7 +518,7 @@ class GraphSlam2D:
         import jax.numpy as jnp
         from ..sdm import pool as pool_mod
 
-        self._sync()
+        self._sync(drain=True)
         geo = MapGeometry(resolution, 4, False)
         dcfg = dist_mod.DistanceConfig(geo, l2_max)
         all_pts = []
@@ -657,7 +707,14 @@ def _make_graph_kernels(cfg, kd: float, ka: float):
             # packed [5] = state + err: one device->host pull (see above)
             return jnp.concatenate([res.state, err[None]])
 
-        return jit_correlate_batch, jit_key_scan, jax.jit(coarse)
+        def coarse_packed(map_state, ref_poses, ref_pts, ref_msks,
+                          cand_poses, ptss, msks):
+            return jax.vmap(coarse,
+                            in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                map_state, ref_poses, ref_pts, ref_msks, cand_poses,
+                ptss, msks)
+
+        return jit_correlate_batch, jit_key_scan, jax.jit(coarse_packed)
 
 
 # fg.optimize is plain (un-jitted) JAX so bench_pgo can wrap it with its
