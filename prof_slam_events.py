@@ -1,21 +1,20 @@
 """Decompose the Slam2D per-scan device floor (~1.4 ms) — VERDICT r2 #3.
 
-Methodology (the prof_pf_events pattern: event grouping inside SANE runs;
-IRIS_DEBUG_NO_* ablations corrupt the map and confound downstream stages):
+Methodology: whole-run A/B on the production chunked replay (8-scan unroll,
+one block at the end), medians over reps — the ONLY trustworthy timing on
+the tunnel (CLAUDE.md). A first attempt that blocked per scan measured
+25-26 ms/scan in EVERY configuration: block_until_ready pays the ~25 ms
+device->host round trip, burying the 1.4 ms device floor (recorded here as
+a negative result; per-scan medians in the bench are pipelined, not
+blocked).
 
-1. Per-scan sequential replay with a host sync each scan, recording host
-   wall time per scan. Per-scan info scalars (iterations, reorged) stay on
-   device and are pulled once at the end.
-2. Regress time ~ a + b*iterations within the non-reorg scans: b = the
-   per-IRLS-iteration match cost, a = fixed cost (dispatch + raycast +
-   deposit + EDT + occupancy + window bookkeeping).
-3. Repeat at halved beam count (same world; raycast/deposit scale with
-   beams, EDT/window costs do not) and halved l2_max (EDT radius scales,
-   the rest does not) to attribute the fixed cost.
-
-Run on the TPU (ambient platform). Times include the ~1-3 ms tunnel
-dispatch; the regression intercept carries it identically in every
-configuration, so the DELTAS between configurations are the signal.
+Stage attribution by config deltas (per-scan ms vs the base config):
+* beam sweep (720 -> 360 -> 180): raycast + deposit + per-iteration match
+  evaluation all scale with beams;
+* l2_max sweep (0.5 -> 0.25 / 1.0): EDT radius-dependent cost (window
+  sizes kept IDENTICAL by pinning pose_slack so only the EDT cap moves —
+  l2 also widens windows otherwise);
+* resolution 0.05 -> 0.1: everything cell-count-driven drops ~4x.
 """
 
 import json
@@ -24,7 +23,8 @@ import time
 import numpy as np
 
 
-def run_config(label, n_beams=720, l2_max=0.5, n_steps=220, reps=2):
+def run_config(label, n_beams=720, l2_max=0.5, resolution=0.05,
+               pose_slack=None, n_steps=220, reps=3):
     import jax
     import jax.numpy as jnp
 
@@ -39,11 +39,14 @@ def run_config(label, n_beams=720, l2_max=0.5, n_steps=220, reps=2):
     nb = beam_bucket(n_beams)
     staged = [tuple(jnp.asarray(a) for a in pad_scan(data.clouds[k], nb))
               for k in range(n_steps)]
-    opts = Slam2DOptions(resolution=0.05, max_range=10.0, trans_thresh=0.1,
-                         rot_thresh=0.1, capacity=8192, max_iter=50,
-                         l2_max=l2_max)
+    kw = {}
+    if pose_slack is not None:
+        kw["pose_slack"] = pose_slack
+    opts = Slam2DOptions(resolution=resolution, max_range=10.0,
+                         trans_thresh=0.1, rot_thresh=0.1, capacity=8192,
+                         max_iter=50, l2_max=l2_max, **kw)
 
-    best = None
+    per_scan = []
     for rep in range(reps + 1):
         slam = Slam2D(opts)
         slam.set_prior(Pose2D(data.poses_gt[0][0] + rep * 1e-4,
@@ -51,45 +54,29 @@ def run_config(label, n_beams=720, l2_max=0.5, n_steps=220, reps=2):
         slam.update_prepadded(*staged[0], data.odometry[0])
         slam.update_prepadded(*staged[1], data.odometry[1])
         jax.block_until_ready(slam._pose_dev)
-        times, infos = [], []
-        for k in range(2, n_steps):
-            t0 = time.perf_counter()
-            if slam.update_prepadded(*staged[k], data.odometry[k]):
-                jax.block_until_ready(slam._pose_dev)
-                times.append(time.perf_counter() - t0)
-                infos.append(slam._last_info_dev)
-        if rep == 0:
-            continue   # warmup (compiles)
-        iters = np.array([int(np.asarray(i["iterations"])) for i in infos])
-        reorg = np.array([bool(np.asarray(i["reorged"])) for i in infos])
-        t = np.array(times) * 1e3
-        sane = ~reorg
-        # robust fit: median-of-slopes against iteration count
-        A = np.stack([np.ones(sane.sum()), iters[sane]], 1)
-        coef, *_ = np.linalg.lstsq(A, t[sane], rcond=None)
-        row = dict(label=label, n=int(sane.sum()),
-                   med_ms=float(np.median(t[sane])),
-                   p10_ms=float(np.percentile(t[sane], 10)),
-                   iters_med=float(np.median(iters[sane])),
-                   fixed_ms=float(coef[0]),
-                   per_iter_ms=float(coef[1]),
-                   reorg_n=int(reorg.sum()),
-                   reorg_extra_ms=float(
-                       np.median(t[reorg]) - np.median(t[sane]))
-                   if reorg.any() else 0.0)
-        if best is None or row["med_ms"] < best["med_ms"]:
-            best = row
-    return best
+        t0 = time.perf_counter()
+        acc = slam.update_many_prepadded(staged[2:], list(data.odometry)[2:])
+        jax.block_until_ready(slam._pose_dev)
+        dt = time.perf_counter() - t0
+        if rep > 0:
+            per_scan.append(dt / len(acc) * 1e3)
+    return dict(label=label, per_scan_ms=round(float(np.median(per_scan)), 3),
+                reps_ms=[round(x, 3) for x in per_scan])
 
 
 def main():
-    out = [
-        run_config("base 720 beams l2=0.5"),
+    rows = [
+        run_config("base 720 beams l2=0.5 res=0.05"),
         run_config("360 beams", n_beams=360),
-        run_config("l2=0.25", l2_max=0.25),
         run_config("180 beams", n_beams=180),
+        # pose_slack pinned so window sizes match base; only EDT cap moves
+        # pose_slack 2.5 keeps the resident window/margin equal to base
+        # (262 cells); match/update sub-windows shift a few % — deltas are
+        # approximate
+        run_config("l2=0.25 (~same windows)", l2_max=0.25, pose_slack=2.5),
+        run_config("res=0.1 (4x fewer cells)", resolution=0.1),
     ]
-    for r in out:
+    for r in rows:
         print(json.dumps(r))
 
 
