@@ -623,7 +623,13 @@ class Slam2D:
         # slower on TPU, faster on CPU).
         mode = os.environ.get("IRIS_SLAM_CHUNK_MODE", "unroll")
         if mode == "unroll":
-            chunk = min(chunk, int(os.environ.get("IRIS_SLAM_UNROLL", "8")))
+            # depth A/B on TPU (prof_unroll r3, medians of 3):
+            # 8 -> 288 (noisy 211-470), 16 -> 666 (475-673), 32 -> 642
+            # (562-679). 16 amortizes the ~2.5 ms tunnel dispatch to
+            # ~0.16 ms/scan and rides through per-dispatch latency noise;
+            # 32 ties within noise at 2x the program size.
+            chunk = min(chunk, int(os.environ.get("IRIS_SLAM_UNROLL",
+                                                  "16")))
             unroll_prog = self._make_unroll(chunk)
 
         pend = []   # accepted (odelta, points, mask, origin)
