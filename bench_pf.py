@@ -65,7 +65,8 @@ def main():
         t0 = time.perf_counter()
         if chunked:
             accepted = pf.update_many_prepadded(
-                staged[1:], list(data.odometry)[1:])
+                staged[1:], list(data.odometry)[1:],
+                chunk=int(os.environ.get("IRIS_PF_CHUNK", "8")))
             n_updates = len(accepted)
             gt_last = (data.poses_gt[1 + accepted[-1]] if accepted
                        else data.poses_gt[0])

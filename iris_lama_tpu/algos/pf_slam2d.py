@@ -826,22 +826,31 @@ class PFSlam2D:
         behavior, including the PRNG split sequence). ``staged`` holds
         (points, mask, origin) device arrays. Returns accepted indices.
 
-        Two program shapes (IRIS_PF_CHUNK_MODE):
-        * "unroll" (default) — straight-line C-update programs, each
-          update carrying its own bucketed motion-packet queue; the
-          sub-C remainder rides the per-update program. Same structure
-          Slam2D's replay uses (r2: the lax.scan chunk paid carried-map
-          buffer copies, 62.8 vs 89.5 up/s sequential).
-        * "scan" — the lax.scan+cond chunk over raw scans (kept for A/B).
+        Replay program shapes (IRIS_PF_CHUNK_MODE), with the r3 TPU A/B
+        verdict (bench_pf, medians):
+        * "seq" (default) — one fused per-update dispatch (the live
+          driver's program): **90.2 up/s**. Fastest: PF's per-update
+          device time (~11 ms) already amortizes the tunnel dispatch.
+        * "unroll" — straight-line C-update programs. 81.1 / 76.9 / 73.6
+          up/s at depth 4 / 8 / 16 — monotonically WORSE with depth: XLA
+          does not alias the big [N, W, W] resident grids through the
+          straight-line chain (only program inputs are donated), so each
+          inlined update double-buffers ~180 MB of per-particle grids.
+          The same structure wins on Slam2D (P=1: tiny grids, dispatch
+          saving dominates) — the win does not transfer to batched state.
+        * "scan" — the lax.scan+cond chunk over raw scans: 62.8 (r2).
+        All three are PRNG-stream-identical to the live driver (equality
+        tests cover scan + unroll).
         """
         opts = self.options
         if self._max_beams == 0:
             self._max_beams = staged[0][0].shape[0]
         if self._jit_update is None:
             self._build()
-        if self._pf_spill is not None:
-            # the spill tier needs its host hooks before every update —
-            # ride the per-update fused program (still 1 dispatch/update)
+        mode = os.environ.get("IRIS_PF_CHUNK_MODE", "seq")
+        if self._pf_spill is not None or mode == "seq":
+            # fastest path (and the spill tier needs its host hooks
+            # before every update): one fused dispatch per update
             accepted = []
             for k in range(len(staged)):
                 if self.update_prepadded(*staged[k], odoms[k]):
@@ -859,7 +868,7 @@ class PFSlam2D:
             start = 1
             accepted.append(0)
 
-        if os.environ.get("IRIS_PF_CHUNK_MODE", "unroll") == "unroll":
+        if mode == "unroll":
             return self._replay_unroll(staged, odoms, start, accepted,
                                        chunk)
 
