@@ -71,15 +71,21 @@ def main():
                              capacity=32768)
         slam = Slam2D(opts)
         slam.set_prior(Pose2D(*data.poses_gt[0]))
+        # warmup prefix: remote compilation (~30-60 s/program) must not
+        # pollute the throughput row; the map/trajectory state carries over
+        warm = min(64, args.steps // 4)
+        acc0 = slam.update_many_prepadded(staged[:warm], odoms[:warm])
+        jax.block_until_ready(slam._pose_dev)
         t0 = time.perf_counter()
-        accepted = slam.update_many_prepadded(staged, odoms)
+        accepted = slam.update_many_prepadded(staged[warm:], odoms[warm:])
         jax.block_until_ready(slam._pose_dev)
         dt = time.perf_counter() - t0
+        accepted = acc0 + [warm + a for a in accepted]
         est = slam.trajectory()
         gt = np.asarray([data.poses_gt[k] for k in accepted])
         ate = ate_rmse(est, gt)
         if "slam2d" in algos:
-            report("slam2d", len(accepted) / dt, "ate_m", ate,
+            report("slam2d", (len(accepted) - len(acc0)) / dt, "ate_m", ate,
                    {"updates": len(accepted),
                     "patches": int(np.asarray(
                         slam.map.table.num_patches()))})
@@ -99,16 +105,21 @@ def main():
         gs.set_prior(Pose2D(*data.poses_gt[0]))
         # chunked prepadded replay (host-numpy staging: the key-pose
         # machinery keeps clouds on host)
+        warm = min(96, args.steps // 4)
+        acc0 = gs.update_many_prepadded(staged_np[:warm], odoms[:warm],
+                                        timestamps=times[:warm])
+        jax.block_until_ready(gs.slam._pose_dev)
         t0 = time.perf_counter()
-        accepted = gs.update_many_prepadded(staged_np, odoms,
-                                            timestamps=times)
+        accepted = gs.update_many_prepadded(staged_np[warm:], odoms[warm:],
+                                            timestamps=times[warm:])
         kps = gs.key_poses          # final sync inside the timed region
         jax.block_until_ready(gs.slam._pose_dev)
         dt = time.perf_counter() - t0
+        accepted = acc0 + [warm + a for a in accepted]
         # final-frame ATE: all key poses in the last optimized frame
         kp_est = np.asarray([kp.pose.xyr() for kp in kps])
         kp_gt = np.asarray([data.poses_gt[int(kp.timestamp)] for kp in kps])
-        report("graph_slam", len(accepted) / dt, "ate_m",
+        report("graph_slam", (len(accepted) - len(acc0)) / dt, "ate_m",
                ate_rmse(kp_est, kp_gt),
                {"key_poses": len(kps),
                 "loop_closures": len(gs.links),
@@ -124,13 +135,18 @@ def main():
         pf.set_prior(Pose2D(*data.poses_gt[0]))
         # straight-line unroll replay (r3 default; the lax.scan chunk paid
         # carried-state buffer copies — 62.8 vs 89.5 up/s on bench_pf r2)
+        warm = min(64, args.steps // 4)
+        acc0 = pf.update_many_prepadded(staged[:warm], odoms[:warm])
+        jax.block_until_ready(pf.pset.pose)
         t0 = time.perf_counter()
-        accepted = pf.update_many_prepadded(staged, odoms)
+        accepted = pf.update_many_prepadded(staged[warm:], odoms[warm:])
         jax.block_until_ready(pf.pset.pose)
         dt = time.perf_counter() - t0
+        accepted = acc0 + [warm + a for a in accepted]
         err = float(np.linalg.norm(
             pf.pose().xy() - data.poses_gt[accepted[-1]][:2]))
-        report("pf_slam", len(accepted) / dt, "final_err_m", err,
+        report("pf_slam", (len(accepted) - len(acc0)) / dt,
+               "final_err_m", err,
                {"updates": len(accepted), "particles": args.particles})
 
     if "loc2d" in algos:
@@ -142,14 +158,20 @@ def main():
                                  rot_thresh=0.1), maps=maps)
         loc.set_prior(Pose2D(*data.poses_gt[0]))
         staged_loc = [(p[:, :2], m) for p, m, _ in staged]
+        warm = min(64, args.steps // 4)
+        acc0 = loc.update_many_prepadded(staged_loc[:warm], odoms[:warm])
+        jax.block_until_ready(loc._pose_dev)
         t0 = time.perf_counter()
-        accepted = loc.update_many_prepadded(staged_loc, odoms)
+        accepted = loc.update_many_prepadded(staged_loc[warm:],
+                                             odoms[warm:])
         jax.block_until_ready(loc._pose_dev)
         dt = time.perf_counter() - t0
+        accepted = acc0 + [warm + a for a in accepted]
+        n_timed = len(accepted) - len(acc0)
         est = loc.trajectory()
         gt = np.asarray([data.poses_gt[k] for k in accepted])
         errs = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
-        report("loc2d", len(accepted) / dt, "mean_err_m",
+        report("loc2d", n_timed / dt, "mean_err_m",
                float(np.mean(errs)), {"updates": len(accepted)})
 
     if "lidar_odom" in algos:
@@ -160,8 +182,12 @@ def main():
         # odometry-free tracking needs near-sensor-rate scans; run on the
         # densest stretch of the log (every scan, no gate)
         n_run = min(args.steps, 1500)
+        warm = min(32, n_run // 4)
+        for k in range(warm):
+            lo.update_prepadded(*staged[k], times[k])
+        jax.block_until_ready(lo._pose_dev)
         t0 = time.perf_counter()
-        for k in range(n_run):
+        for k in range(warm, n_run):
             lo.update_prepadded(*staged[k], times[k])
         jax.block_until_ready(lo._pose_dev)
         dt = time.perf_counter() - t0
@@ -170,7 +196,7 @@ def main():
         rel_gt = np.asarray([(g0 - Pose2D(*data.poses_gt[k])).xyr()
                              for k in range(n_run)])
         err = np.linalg.norm(est[:, :2] - rel_gt[:, :2], axis=1)
-        report("lidar_odom", n_run / dt, "drift_m_per_100m",
+        report("lidar_odom", (n_run - warm) / dt, "drift_m_per_100m",
                float(err[-1] / max(np.sum(np.linalg.norm(
                    np.diff(rel_gt[:, :2], axis=0), axis=1)), 1e-9) * 100.0),
                {"scans": n_run, "final_err_m": round(float(err[-1]), 3)})
