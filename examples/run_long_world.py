@@ -66,9 +66,13 @@ def main():
     slam_traj = None
     if "slam2d" in algos or "loc2d" in algos:
         from iris_lama_tpu.algos.slam2d import Slam2D, Slam2DOptions
+        # capacity right-sized to the world (~900 patches at 5 cm):
+        # prof_corridor measured 706 scans/s at 8192 vs 279 at 32768 —
+        # the big pool rides through the per-scan re-org cond and its
+        # copies scale with capacity
         opts = Slam2DOptions(resolution=args.resolution, max_range=10.0,
                              trans_thresh=0.25, rot_thresh=0.25,
-                             capacity=32768)
+                             capacity=8192)
         slam = Slam2D(opts)
         slam.set_prior(Pose2D(*data.poses_gt[0]))
         # warmup prefix: remote compilation (~30-60 s/program) must not
@@ -98,7 +102,7 @@ def main():
         gopts = GraphSlam2DOptions(
             slam=Slam2DOptions(resolution=args.resolution, max_range=10.0,
                                trans_thresh=0.25, rot_thresh=0.25,
-                               capacity=8192, transient_map=True),
+                               capacity=4096, transient_map=True),
             key_pose_head_delay=3, ignore_n_chain_poses=15,
             loop_closure_scan_rmse=0.12)
         gs = GraphSlam2D(gopts)
@@ -130,7 +134,7 @@ def main():
         popts = PFSlam2DOptions(particles=args.particles,
                                 resolution=args.resolution, max_range=10.0,
                                 trans_thresh=0.25, rot_thresh=0.25,
-                                capacity=8192, max_iter=50, seed=11)
+                                capacity=4096, max_iter=50, seed=11)
         pf = PFSlam2D(popts)
         pf.set_prior(Pose2D(*data.poses_gt[0]))
         # straight-line unroll replay (r3 default; the lax.scan chunk paid
