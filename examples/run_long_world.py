@@ -105,29 +105,29 @@ def main():
                                capacity=4096, transient_map=True),
             key_pose_head_delay=3, ignore_n_chain_poses=15,
             loop_closure_scan_rmse=0.12)
-        gs = GraphSlam2D(gopts)
-        gs.set_prior(Pose2D(*data.poses_gt[0]))
-        # chunked prepadded replay (host-numpy staging: the key-pose
-        # machinery keeps clouds on host)
-        warm = min(96, args.steps // 4)
-        acc0 = gs.update_many_prepadded(staged_np[:warm], odoms[:warm],
-                                        timestamps=times[:warm])
-        jax.block_until_ready(gs.slam._pose_dev)
-        t0 = time.perf_counter()
-        accepted = gs.update_many_prepadded(staged_np[warm:], odoms[warm:],
-                                            timestamps=times[warm:])
-        kps = gs.key_poses          # final sync inside the timed region
-        jax.block_until_ready(gs.slam._pose_dev)
-        dt = time.perf_counter() - t0
-        accepted = acc0 + [warm + a for a in accepted]
+        # two passes: remote compilation spreads over the whole first
+        # pass (pose-graph node/factor buckets grow with the trajectory,
+        # so a prefix warmup cannot reach them); pass 2 is the measurement
+        for timed in (False, True):
+            gs = GraphSlam2D(gopts)
+            gs.set_prior(Pose2D(*data.poses_gt[0]))
+            t0 = time.perf_counter()
+            accepted = gs.update_many_prepadded(staged_np, odoms,
+                                                timestamps=times)
+            kps = gs.key_poses      # final sync inside the timed region
+            jax.block_until_ready(gs.slam._pose_dev)
+            dt = time.perf_counter() - t0
         # final-frame ATE: all key poses in the last optimized frame
         kp_est = np.asarray([kp.pose.xyr() for kp in kps])
         kp_gt = np.asarray([data.poses_gt[int(kp.timestamp)] for kp in kps])
-        report("graph_slam", (len(accepted) - len(acc0)) / dt, "ate_m",
+        stats = {k: round(v, 2) for k, v in gs.stats.items()
+                 if not k.endswith("_n")}
+        report("graph_slam", len(accepted) / dt, "ate_m",
                ate_rmse(kp_est, kp_gt),
                {"key_poses": len(kps),
                 "loop_closures": len(gs.links),
-                "updates": len(accepted)})
+                "updates": len(accepted),
+                "phase_s": stats})
 
     if "pf_slam" in algos:
         from iris_lama_tpu.algos.pf_slam2d import PFSlam2D, PFSlam2DOptions
