@@ -76,6 +76,19 @@ class Slam2DOptions:
     resident_window: bool = os.environ.get("IRIS_SLAM_RESIDENT", "1") != "0"
     resident_extra_patches: int = int(os.environ.get(
         "IRIS_SLAM_RESIDENT_EXTRA", "4"))
+    # Host-gated re-orgs (r3): the hot step carries NO pool and NO re-org
+    # cond — the driver predicts re-orgs from odometry travel (conservative
+    # slack, see _reorg_trigger_m) and dispatches flush+regather as its own
+    # program. The device cond was measured to dominate the step on the
+    # tunnel (prof_nocond). Auto-falls back to the device cond when the
+    # window's wander allowance is too tight for a safe host trigger, and
+    # for transient/spill modes (per-scan pool interaction). Results are
+    # bitwise-equal (re-org timing only moves WHEN the semantic no-op
+    # pool<->window exchange happens); the step counts would-have-clipped
+    # poses as a correctness guard (escaped_count).
+    host_reorg: bool = os.environ.get("IRIS_SLAM_HOST_REORG", "1") != "0"
+    # odometry drift allowance (m) between re-orgs for the host trigger
+    host_reorg_slack: float = 1.0
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -189,8 +202,15 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
             occ, vis, dist = mapping.resident_gather(state, cfg, new_org)
             return state, new_org, occ, vis, dist
 
-        state, org, occ, vis, dist = jax.lax.cond(
-            safe, lambda op: op, do_reorg, (state, org, occ, vis, dist))
+        if os.environ.get("IRIS_DEBUG_NO_REORG_COND") == "1":
+            # Debug bound (wrong results when a re-org would fire, real
+            # timing): how much does the cond + pool/grid carry cost the
+            # per-scan step? See CLAUDE.md on why only whole-run A/B is
+            # trustworthy here.
+            pass
+        else:
+            state, org, occ, vis, dist = jax.lax.cond(
+                safe, lambda op: op, do_reorg, (state, org, occ, vis, dist))
 
         dist_m, m_org = dist, org
         if ws_m < w_res:
@@ -316,6 +336,60 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
 
         return jax.jit(unroll_step, donate_argnums=(0, 2, 3, 4, 6))
 
+    # ---- host-gated re-org mode (r3): pool-free hot step -------------------
+    # The device-side re-org cond must stage the pool + grids through its
+    # branches every scan; measured on the tunnel this dominates the step
+    # (prof_nocond: compiling the cond out took the 16-unroll replay from
+    # ~280-590 to ~2700-3900 scans/s — partially a diverged-run artifact,
+    # but the honest host-gated version below recovers most of it). In
+    # this mode the hot step NEVER sees the pool: the driver predicts
+    # re-orgs from odometry travel (a conservative trigger with meters of
+    # slack) and dispatches the flush+regather as its own program between
+    # scans; the step counts would-have-clipped poses (esc) as the
+    # correctness guard.
+    def nopool_step(org, occ, vis, dist, pose_prev, odelta, points, mask,
+                    origin, traj, esc, k):
+        pose0 = lie.se2_compose(pose_prev, odelta)
+        p0cell = geo.w2m(pose0[:2])
+        esc = esc + (~mapping.resident_safe(cfg, org, p0cell)).astype(
+            jnp.int32)
+        dist_m, m_org = dist, org
+        if ws_m < w_res:
+            lp = p0cell - org
+            start = jnp.clip(lp - ws_m // 2, 0, w_res - ws_m)
+            dist_m = jax.lax.dynamic_slice(dist, (start[1], start[0]),
+                                           (ws_m, ws_m))
+            m_org = org + start
+        res = match.solve_window(dist_m, m_org, geo, max_dist,
+                                 points[:, :2], mask, pose0, sopts)
+        occ, vis, dist, n_cells = mapping.resident_update(
+            cfg, org, occ, vis, dist, res.state, points, mask, origin)
+        traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)
+        info = {"iterations": res.iterations, "chi2": res.chi2,
+                "processed_cells": n_cells}
+        return occ, vis, dist, res.state, traj, esc, info
+
+    @functools.lru_cache(maxsize=None)
+    def make_unroll_nopool(c: int):
+        def unroll_step(org, occ, vis, dist, pose, traj, esc, k0, odeltas,
+                        points, masks, origins):
+            info = {}
+            for i in range(c):
+                occ, vis, dist, pose, traj, esc, info = nopool_step(
+                    org, occ, vis, dist, pose, odeltas[i], points[i],
+                    masks[i], origins[i], traj, esc, k0 + i)
+            return occ, vis, dist, pose, traj, esc, info
+
+        return jax.jit(unroll_step, donate_argnums=(1, 2, 3, 5, 6))
+
+    def reorg(state, org, occ, vis, dist, pose_dev):
+        """Flush + re-center + regather as a standalone program (host-
+        triggered; bit-equal to the in-step cond body)."""
+        state = mapping.resident_flush(state, cfg, org, occ, vis, dist)
+        new_org = mapping.resident_org(cfg, geo.w2m(pose_dev[:2]))
+        occ, vis, dist = mapping.resident_gather(state, cfg, new_org)
+        return state, new_org, occ, vis, dist
+
     def split_map(state, org, occ, vis, dist, pose, points, mask, origin,
                   traj, k):
         """Map half of the opt-in two-program detailed-summary mode."""
@@ -333,7 +407,10 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
             jax.jit(chunk_step, donate_argnums=(0, 2, 3, 4, 6)),
             make_unroll,
             jax.jit(solve_part),
-            jax.jit(split_map))
+            jax.jit(split_map),
+            jax.jit(nopool_step, donate_argnums=(1, 2, 3, 9, 10)),
+            make_unroll_nopool,
+            jax.jit(reorg, donate_argnums=(0, 2, 3, 4)))
 
 
 class Slam2D:
@@ -371,6 +448,10 @@ class Slam2D:
         self._pose_host: Optional[Pose2D] = Pose2D()
         self._traj = jnp.zeros((self.TRAJ_CAP, 4), jnp.float32)
         self._n_updates = 0
+        # host-gated re-org bookkeeping (set up in _build_programs)
+        self._host_reorg = False
+        self._odom_reorg: Optional[Pose2D] = None
+        self._esc_dev = jnp.int32(0)
         # host spill tier (use_compression: LRU compress-on-evict parity)
         self._spill = None
         if options.use_compression and not options.transient_map:
@@ -418,8 +499,15 @@ class Slam2D:
 
     @property
     def _last_info(self):
-        return {k: int(np.asarray(v)) for k, v in self._last_info_dev.items()
-                if k != "chi2"}
+        d = {k: int(np.asarray(v)) for k, v in self._last_info_dev.items()
+             if k != "chi2"}
+        if "overflow" not in d:
+            # pool-free hot step (host-gated re-orgs): pool telemetry comes
+            # from the pool state, valid as of the last flush/re-org
+            d["overflow"] = int(np.asarray(self._map.table.overflow))
+            d["num_patches"] = int(np.asarray(
+                self._map.table.num_patches()))
+        return d
 
     def enough_motion(self, odometry: Pose2D) -> bool:
         """slam2d.cpp:130-141."""
@@ -460,6 +548,7 @@ class Slam2D:
             return False
         if self._spill is not None:
             self._spill_hooks(odometry)        # refill window / spill far
+        self._maybe_reorg(odometry)
         self.odom_ = odometry
         if (self.summary is not None and self.options.detailed_summary
                 and self._resident):
@@ -529,15 +618,48 @@ class Slam2D:
         self._traj = self._traj.at[0].set(self._pose_dev)
         self._n_updates = 1
         self.has_first_scan = True
+        self._odom_reorg = self.odom_   # host-gated re-org anchor
 
     def _do_step(self, odelta: Pose2D, points, mask, origin) -> None:
         self._do_step_od(jnp.asarray(odelta.se2_array()), points, mask,
                          origin)
 
+    def escaped_count(self) -> int:
+        """Updates whose pose left the resident safe zone before a re-org
+        (host-gated mode correctness guard) — 0 in a healthy run."""
+        return int(np.asarray(self._esc_dev))
+
+    def _maybe_reorg(self, odometry: Pose2D) -> None:
+        """Host-gated re-org trigger: flush+re-center+regather as its own
+        dispatch once odometry has travelled the window's wander allowance
+        minus slack since the last re-org."""
+        if not self._host_reorg or self._odom_reorg is None:
+            return
+        d = float(np.linalg.norm((self._odom_reorg - odometry).xy()))
+        if d < self._reorg_trigger_m:
+            return
+        (self._map, self._res_org, self._res_occ, self._res_vis,
+         self._res_dist) = self._reorg(
+            self._map, self._res_org, self._res_occ, self._res_vis,
+            self._res_dist, self._pose_dev)
+        self._odom_reorg = odometry
+        self._res_dirty = False   # pool and window are in sync right now
+
     def _do_step_od(self, od, points, mask, origin) -> None:
         """2-3. optimize + map update (single fused device program); the
         pose stays on device, host copy goes stale."""
         k = jnp.int32(self._n_updates)
+        if self._resident and self._host_reorg:
+            (self._res_occ, self._res_vis, self._res_dist, self._pose_dev,
+             self._traj, self._esc_dev, info) = self._step_np(
+                self._res_org, self._res_occ, self._res_vis,
+                self._res_dist, self._pose_dev, od, points, mask, origin,
+                self._traj, self._esc_dev, k)
+            self._res_dirty = True
+            self._pose_host = None
+            self._last_info_dev = info
+            self._n_updates += 1
+            return
         if self._resident:
             (self._map, self._res_org, self._res_occ, self._res_vis,
              self._res_dist, self._pose_dev, self._traj, info) = self._step(
@@ -570,20 +692,39 @@ class Slam2D:
             return False
         if self._spill is not None:
             self._spill_hooks(odometry)
+        self._maybe_reorg(odometry)
         self.odom_ = odometry
         self._do_step(odelta, points, mask, origin)
         return True
 
+    @property
+    def _reorg_trigger_m(self) -> float:
+        """Odometry travel between host-gated re-orgs: wander allowance
+        minus patch-alignment slop minus the drift slack, in meters."""
+        cfg = self.cfg
+        cells = (cfg.resident_window_cells // 2 - cfg.resident_margin_cells
+                 - cfg.geometry.patch_length)
+        return (cells * cfg.geometry.resolution
+                - self.options.host_reorg_slack)
+
     def _build_programs(self) -> None:
         if self._resident:
             (self._step, self._first, self._flush, self._chunk,
-             self._make_unroll, self._split_solve,
-             self._split_map) = _make_step_resident(self.cfg, self.sopts)
+             self._make_unroll, self._split_solve, self._split_map,
+             self._step_np, self._make_unroll_np,
+             self._reorg) = _make_step_resident(self.cfg, self.sopts)
+            # host-gated re-orgs need enough wander allowance for the
+            # odometry trigger to be conservative
+            self._host_reorg = (self.options.host_reorg
+                                and not self.cfg.transient
+                                and self._spill is None
+                                and self._reorg_trigger_m >= 0.5)
         else:
             self._step, self._first = _make_step(self.cfg, self.sopts)
             self._chunk = None
             self._make_unroll = None
             self._split_solve = self._split_map = None
+            self._host_reorg = False
 
     def update_many_prepadded(self, staged, odoms,
                               chunk: int = 32) -> list:
@@ -622,6 +763,7 @@ class Slam2D:
         # copies. "scan": the lax.scan+cond chunk (kept for A/B; measured
         # slower on TPU, faster on CPU).
         mode = os.environ.get("IRIS_SLAM_CHUNK_MODE", "unroll")
+        use_np = self._host_reorg and mode == "unroll"
         if mode == "unroll":
             # depth A/B on TPU (prof_unroll r3, medians of 3):
             # 8 -> 288 (noisy 211-470), 16 -> 666 (475-673), 32 -> 642
@@ -630,7 +772,8 @@ class Slam2D:
             # 32 ties within noise at 2x the program size.
             chunk = min(chunk, int(os.environ.get("IRIS_SLAM_UNROLL",
                                                   "16")))
-            unroll_prog = self._make_unroll(chunk)
+            unroll_prog = (self._make_unroll_np(chunk) if use_np
+                           else self._make_unroll(chunk))
 
         pend = []   # accepted (odelta, points, mask, origin)
 
@@ -650,7 +793,15 @@ class Slam2D:
             pts = jnp.stack([p[1] for p in pend])
             msk = jnp.stack([p[2] for p in pend])
             org = jnp.stack([p[3] for p in pend])
-            if mode == "unroll":
+            if use_np:
+                (self._res_occ, self._res_vis, self._res_dist,
+                 self._pose_dev, self._traj, self._esc_dev,
+                 info) = unroll_prog(
+                    self._res_org, self._res_occ, self._res_vis,
+                    self._res_dist, self._pose_dev, self._traj,
+                    self._esc_dev, jnp.int32(self._n_updates), od, pts,
+                    msk, org)
+            elif mode == "unroll":
                 (self._map, self._res_org, self._res_occ, self._res_vis,
                  self._res_dist, self._pose_dev, self._traj,
                  info) = unroll_prog(
@@ -677,6 +828,12 @@ class Slam2D:
                     and abs(odelta.rotation()) <=
                     self.options.rot_thresh):
                 continue
+            if (use_np and self._odom_reorg is not None
+                    and float(np.linalg.norm(
+                        (self._odom_reorg - odoms[k]).xy()))
+                    >= self._reorg_trigger_m):
+                flush_chunk()          # staged scans precede the re-org
+                self._maybe_reorg(odoms[k])
             self.odom_ = odoms[k]
             pend.append((odelta.se2_array().astype(np.float32),)
                         + tuple(staged[k]))

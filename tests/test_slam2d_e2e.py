@@ -168,12 +168,14 @@ def test_update_many_matches_sequential(mode, monkeypatch):
 
     assert n_seq == len(accepted)
     np.testing.assert_allclose(a.trajectory(), b.trajectory(), atol=1e-6)
-    ma, mb = a.map, b.map
-    np.testing.assert_array_equal(np.asarray(ma.occupied),
-                                  np.asarray(mb.occupied))
-    np.testing.assert_array_equal(np.asarray(ma.visited),
-                                  np.asarray(mb.visited))
-    np.testing.assert_array_equal(np.asarray(ma.dist), np.asarray(mb.dist))
+    # content-based map comparison: re-org TIMING differs between the
+    # host-gated per-scan path and the device-cond scan chunk, so pool
+    # slot assignment differs while per-key content must not
+    ca, cb = _patch_content(a), _patch_content(b)
+    assert set(ca) == set(cb)
+    for key in ca:
+        for x, y in zip(ca[key], cb[key]):
+            np.testing.assert_array_equal(x, y)
 
 
 def test_resident_matches_pool_path():
@@ -280,3 +282,22 @@ def test_detailed_summary_phase_split():
     # and the trajectory still tracks (split == fused math)
     gt = np.asarray(data.poses_gt[:len(est)])
     assert np.linalg.norm(np.asarray(est)[-1][:2] - gt[-1][:2]) < 0.5
+
+
+def test_host_reorg_matches_device_cond():
+    """r3 host-gated re-orgs (pool-free hot step): bitwise-equal
+    trajectory and map content vs the device-cond step, with zero escaped
+    updates, on a run long enough to re-org several times."""
+    kw = dict(n_steps=150, seed=1)
+    est_h, _, _, slam_h = run_sim_slam(resident_extra_patches=1,
+                                       host_reorg=True, **kw)
+    est_d, _, _, slam_d = run_sim_slam(resident_extra_patches=1,
+                                       host_reorg=False, **kw)
+    assert slam_h._host_reorg and not slam_d._host_reorg
+    assert slam_h.escaped_count() == 0
+    np.testing.assert_array_equal(est_h, est_d)
+    ch, cd = _patch_content(slam_h), _patch_content(slam_d)
+    assert set(ch) == set(cd)
+    for key in ch:
+        for x, y in zip(ch[key], cd[key]):
+            np.testing.assert_array_equal(x, y)
