@@ -104,6 +104,16 @@ class PFSlam2DOptions:
     # Env override for A/B.
     resident_extra_patches: int = int(os.environ.get(
         "IRIS_RESIDENT_EXTRA", "8"))
+    # Host-gated re-orgs (r3, mirrors Slam2DOptions.host_reorg): the
+    # per-update program drops the device-side re-org cond — staging the
+    # 30x [W, W] grids + pools through the cond's branches was measured
+    # to be ~95% of the PF update on the tunnel (prof_pf_nocond: 89 up/s
+    # with the cond, 2790-3257 with it compiled out; the honest host-gated
+    # version keeps results bitwise-correct). The driver predicts re-orgs
+    # from odometry travel and dispatches the settle+flush+regather as its
+    # own program; the step's `escaped` info field is the guard.
+    host_reorg: bool = os.environ.get("IRIS_PF_HOST_REORG", "1") != "0"
+    host_reorg_slack: float = 1.5   # odometry drift + particle spread (m)
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -257,17 +267,17 @@ def _weights_and_resample(opts: PFSlam2DOptions, pset: ParticleSet, key,
 
 
 def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
-                   points, mask, origin):
+                   points, mask, origin, use_cond: bool = True):
     """Full per-scan PF update (scan match -> weights -> resample -> maps).
 
     Motion sampling runs separately per odometry packet (motion_step) to
     mirror the reference's every-call drawFromMotion. Dispatches to the
     resident-window implementation when the particle set carries resident
-    grids.
+    grids. ``use_cond=False``: host-gated re-org mode (see Options).
     """
     if pset.res_org is not None:
         return _pf_update_step_resident(opts, pset, key, points, mask,
-                                        origin)
+                                        origin, use_cond=use_cond)
     cfg = opts.mapping_config()
     sopts = opts.solver_options()
 
@@ -295,10 +305,13 @@ def pf_update_step(opts: PFSlam2DOptions, pset: ParticleSet, key,
     return new_set, info
 
 
-def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask):
+def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
+                    use_cond: bool = True):
     """Phases 0-2 of the resident PF update: re-org cond + per-particle
     scan match + likelihood. Returns ((maps, org, occ, vis, dist, lineage),
-    states, liks, match_iters, safe)."""
+    states, liks, match_iters, safe). ``use_cond=False`` compiles the
+    re-org cond out entirely (host-gated re-org mode: the driver
+    guarantees safety via the odometry-travel trigger)."""
     cfg = opts.mapping_config()
     sopts = opts.solver_options()
     geo = cfg.geometry
@@ -326,7 +339,7 @@ def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask):
         return (maps, new_org, occ, vis, dist,
                 jnp.arange(lineage.shape[0], dtype=jnp.int32))
 
-    if _DEBUG_NO_REORG:
+    if _DEBUG_NO_REORG or not use_cond:
         maps, org, occ, vis, dist, lineage = (
             pset.maps, pset.res_org, pset.res_occ, pset.res_vis,
             pset.res_dist, pset.lineage)
@@ -416,7 +429,7 @@ def _pf_map_phase(opts: PFSlam2DOptions, org, occ, vis, dist, pose,
 
 
 def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
-                             points, mask, origin):
+                             points, mask, origin, use_cond: bool = True):
     """Resident-window PF update: identical math to :func:`pf_update_step`
     but all per-update map work happens on the dense resident grids; the
     patch pool is only exchanged on a (rare) re-org. Composed from the
@@ -426,7 +439,7 @@ def _pf_update_step_resident(opts: PFSlam2DOptions, pset: ParticleSet, key,
     geo = cfg.geometry
 
     mid, states, liks, match_iters, safe = _pf_match_phase(
-        opts, pset, points, mask)
+        opts, pset, points, mask, use_cond=use_cond)
 
     # 3-4. weights + resampling (resident grids follow the lineage gather)
     idx, pose, weight, weight_sum, nw, neff, do_resample = \
@@ -577,12 +590,37 @@ def _make_programs(opts: PFSlam2DOptions):
     def update(pset, key, odeltas, valids, pts, msk, org):
         # queued motion + full update in ONE dispatch (the sequential
         # driver used to pay one motion dispatch per scan + one update
-        # dispatch per accepted scan — ~4 tunnel round trips per update)
+        # dispatch per accepted scan — ~4 tunnel round trips per update).
+        # host_reorg: the cond is compiled OUT of this program (the driver
+        # owns re-org timing); chunked replay programs keep it.
         pose, key = _motion_scan(opts, pset.pose, key, odeltas, valids)
         k1, k2 = jax.random.split(key)
         new_pset, info = pf_update_step(opts, pset._replace(pose=pose), k1,
-                                        pts, msk, org)
+                                        pts, msk, org,
+                                        use_cond=not opts.host_reorg)
         return new_pset, info, k2
+
+    def reorg(pset):
+        """Host-triggered re-org: exactly the device cond's body — settle
+        lineage, flush every particle's window, re-center on the mean
+        pose, regather."""
+        cfg = opts.mapping_config()
+        geo = cfg.geometry
+        maps = jax.tree.map(lambda a: a[pset.lineage], pset.maps)
+        maps = jax.vmap(
+            lambda m, o, v, d: mapping.resident_flush(
+                m, cfg, pset.res_org, o, v, d)
+        )(maps, pset.res_occ, pset.res_vis, pset.res_dist)
+        p0cell = geo.w2m(pset.pose[:, :2])
+        anchor = jnp.mean(p0cell.astype(jnp.float32), axis=0).astype(
+            jnp.int32)
+        new_org = mapping.resident_org(cfg, anchor)
+        occ, vis, dist = jax.vmap(
+            lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
+        return pset._replace(
+            maps=maps, res_org=new_org, res_occ=occ, res_vis=vis,
+            res_dist=dist,
+            lineage=jnp.arange(pset.lineage.shape[0], dtype=jnp.int32))
 
     @functools.lru_cache(maxsize=None)
     def make_unroll(c: int, q: int):
@@ -661,6 +699,7 @@ def _make_programs(opts: PFSlam2DOptions):
             donate_argnums=(0,)),
         make_unroll,
         split,
+        jax.jit(reorg, donate_argnums=(0,)),
     )
 
 
@@ -688,6 +727,22 @@ class PFSlam2D:
         self._jit_flush_one = None
         self._jit_chunk = None
         self._odelta_queue = []   # motion packets since the last dispatch
+        # host-gated re-orgs (see Options.host_reorg): trigger distance
+        # from the window's wander allowance; auto-fallback to the device
+        # cond when the window is too tight for a safe host trigger
+        self._odom_reorg: Optional[Pose2D] = None
+        self._pf_trigger_m = 0.0
+        self._n_reorgs = 0   # host-gated re-orgs dispatched
+        if options.host_reorg and options.resident_window:
+            cfg = options.mapping_config()
+            cells = (cfg.resident_window_cells // 2
+                     - cfg.resident_margin_cells
+                     - cfg.geometry.patch_length)
+            self._pf_trigger_m = (cells * cfg.geometry.resolution
+                                  - options.host_reorg_slack)
+            if self._pf_trigger_m < 0.5:
+                self.options = options = dataclasses.replace(
+                    options, host_reorg=False)
         # per-particle spill tier (use_compression parity:
         # /root/reference/src/pf_slam2d.cpp:201-204 — the compressor bounds
         # every particle's live map memory)
@@ -708,8 +763,8 @@ class PFSlam2D:
 
     def _build(self):
         (self._jit_motion, self._jit_update, self._jit_first,
-         self._jit_chunk, self._make_unroll,
-         self._jit_split) = _make_programs(self.options)
+         self._jit_chunk, self._make_unroll, self._jit_split,
+         self._jit_reorg) = _make_programs(self.options)
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
@@ -733,6 +788,7 @@ class PFSlam2D:
 
         if not self.has_first_scan:
             self.odom_ = odometry
+            self._odom_reorg = odometry
             self.pset = particles_init(opts, jnp.asarray(
                 self.pose_prior.se2_array()))
             self.pset = self._jit_first(self.pset, points, mask, origin)
@@ -762,6 +818,8 @@ class PFSlam2D:
 
         if self._pf_spill is not None:
             self._pf_spill_hooks(odometry)   # refill near / spill far
+        if opts.host_reorg and self.pset.res_org is not None:
+            self._pf_maybe_reorg(odometry)
 
         if (self.summary is not None and opts.detailed_summary
                 and self.pset.res_org is not None):
@@ -861,6 +919,7 @@ class PFSlam2D:
         accepted = []
         if not self.has_first_scan:
             self.odom_ = odoms[0]
+            self._odom_reorg = odoms[0]
             self.pset = particles_init(opts, jnp.asarray(
                 self.pose_prior.se2_array()))
             self.pset = self._jit_first(self.pset, *staged[0])
@@ -996,6 +1055,20 @@ class PFSlam2D:
             od, valids = self._queued()
             self.pset, self.key = self._jit_motion(self.pset, self.key,
                                                    od, valids)
+
+    def _pf_maybe_reorg(self, odometry: Pose2D) -> None:
+        """Host-gated re-org: one standalone dispatch once odometry has
+        travelled the wander allowance minus slack. The window centers on
+        the mean particle pose as of the last applied motion (queued
+        packets lag by <= one gate distance — covered by the slack)."""
+        if self._odom_reorg is None:
+            return
+        d = float(np.linalg.norm((self._odom_reorg - odometry).xy()))
+        if d < self._pf_trigger_m:
+            return
+        self.pset = self._jit_reorg(self.pset)
+        self._odom_reorg = odometry
+        self._n_reorgs += 1
 
     # -- per-particle spill tier ---------------------------------------------
     def _pf_sync_now(self) -> None:

@@ -452,6 +452,7 @@ class Slam2D:
         self._host_reorg = False
         self._odom_reorg: Optional[Pose2D] = None
         self._esc_dev = jnp.int32(0)
+        self._n_reorgs = 0   # host-gated re-orgs dispatched
         # host spill tier (use_compression: LRU compress-on-evict parity)
         self._spill = None
         if options.use_compression and not options.transient_map:
@@ -643,6 +644,7 @@ class Slam2D:
             self._map, self._res_org, self._res_occ, self._res_vis,
             self._res_dist, self._pose_dev)
         self._odom_reorg = odometry
+        self._n_reorgs += 1
         self._res_dirty = False   # pool and window are in sync right now
 
     def _do_step_od(self, od, points, mask, origin) -> None:

@@ -65,7 +65,9 @@ def test_resident_bitwise_equals_legacy():
     est_res, reorgs, slam_res = _run(data, _opts(resident_window=True))
     est_leg, _, slam_leg = _run(data, _opts(resident_window=False))
     # the robot travels far enough that the window must re-center
-    assert reorgs >= 1, "test not exercising the re-org path"
+    # (device-cond re-orgs show in the info flag; host-gated ones in the
+    # driver counter)
+    assert reorgs + slam_res._n_reorgs >= 1, "re-org path not exercised"
     assert est_res.shape == est_leg.shape and len(est_res) > 10
     # identical PRNG stream + exact window math -> bit-identical particles
     np.testing.assert_array_equal(est_res, est_leg)

@@ -87,7 +87,10 @@ def test_pf_update_many_matches_sequential(mode, monkeypatch):
     monkeypatch.setenv("IRIS_PF_CHUNK_MODE", mode)
 
     data = _sim(n_steps=40)
-    opts = _opts(seed=123, trans_thresh=0.25, rot_thresh=0.25)
+    # host_reorg off: identical re-org timing on both sides (the chunked
+    # replay programs keep the device cond)
+    opts = _opts(seed=123, trans_thresh=0.25, rot_thresh=0.25,
+                 host_reorg=False)
     nb = beam_bucket(120)
     staged = []
     for k in range(len(data.clouds)):
@@ -272,3 +275,44 @@ def test_pf_detailed_summary_phase_split():
     rep = s.report()
     for row in ("solving", "normalizing", "resampling", "mapping"):
         assert row in rep
+
+
+def test_pf_host_reorg_matches_device_cond():
+    """r3 host-gated PF re-orgs: bitwise-equal particle state and map
+    content vs the device-cond update, with zero escaped particles, on a
+    run with several re-orgs."""
+    data = _sim(n_steps=100)
+    a = pf.PFSlam2D(_opts(host_reorg=True, resident_extra_patches=1))
+    b = pf.PFSlam2D(_opts(host_reorg=False, resident_extra_patches=1))
+    for f in (a, b):
+        f.set_prior(Pose2D(*data.poses_gt[0]))
+        for k in range(len(data.clouds)):
+            f.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+        f._flush_motion()
+    assert a.options.host_reorg and not b.options.host_reorg
+    assert a._n_reorgs >= 1, "host trigger never fired"
+    assert a._last_info["escaped"] == 0
+    pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
+    np.testing.assert_array_equal(pa.pose, pb.pose)
+    np.testing.assert_array_equal(pa.weight, pb.weight)
+    # best-particle maps: content-equal (slot order may differ with
+    # re-org timing)
+    i = a.best_particle_idx()
+    assert i == b.best_particle_idx()
+    from iris_lama_tpu.sdm import pool as pool_mod
+    cfg = _opts().mapping_config()
+
+    def content(m):
+        keys, act = (np.asarray(x) for x in pool_mod.active_keys(m.table))
+        occ, vis, dist = (np.asarray(m.occupied), np.asarray(m.visited),
+                          np.asarray(m.dist))
+        md = np.float32(cfg.distance.max_dist)
+        return {int(keys[s]): (occ[s], vis[s], dist[s])
+                for s in np.nonzero(act)[0]
+                if occ[s].any() or vis[s].any() or (dist[s] != md).any()}
+
+    ca, cb = content(a.particle_map(i)), content(b.particle_map(i))
+    assert set(ca) == set(cb)
+    for k in ca:
+        for x, y in zip(ca[k], cb[k]):
+            np.testing.assert_array_equal(x, y)
