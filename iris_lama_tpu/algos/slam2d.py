@@ -347,8 +347,8 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
     # slack) and dispatches the flush+regather as its own program between
     # scans; the step counts would-have-clipped poses (esc) as the
     # correctness guard.
-    def nopool_step(org, occ, vis, dist, pose_prev, odelta, points, mask,
-                    origin, traj, esc, k):
+    def nopool_step(state, org, occ, vis, dist, pose_prev, odelta, points,
+                    mask, origin, traj, esc, k):
         pose0 = lie.se2_compose(pose_prev, odelta)
         p0cell = geo.w2m(pose0[:2])
         esc = esc + (~mapping.resident_safe(cfg, org, p0cell)).astype(
@@ -364,23 +364,33 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
                                  points[:, :2], mask, pose0, sopts)
         occ, vis, dist, n_cells = mapping.resident_update(
             cfg, org, occ, vis, dist, res.state, points, mask, origin)
+        if cfg.transient:
+            # per-scan transient pruning, cond-free: window resets are
+            # elementwise; the pool prune is the unconditional vectorized
+            # removal (prune_transient_pool) — without a lax.cond the pool
+            # arrays alias straight through under donation
+            g = mapping.beam_geometry(cfg, res.state, points, mask, origin)
+            ac, ah = mapping.transient_keep_aabb(cfg, res.state, g)
+            occ, vis, dist = mapping.resident_transient_reset(
+                cfg, org, occ, vis, dist, ac, ah)
+            state = mapping.prune_transient_pool(state, cfg, ac, ah)
         traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(res.state)
         info = {"iterations": res.iterations, "chi2": res.chi2,
                 "processed_cells": n_cells}
-        return occ, vis, dist, res.state, traj, esc, info
+        return state, occ, vis, dist, res.state, traj, esc, info
 
     @functools.lru_cache(maxsize=None)
     def make_unroll_nopool(c: int):
-        def unroll_step(org, occ, vis, dist, pose, traj, esc, k0, odeltas,
-                        points, masks, origins):
+        def unroll_step(state, org, occ, vis, dist, pose, traj, esc, k0,
+                        odeltas, points, masks, origins):
             info = {}
             for i in range(c):
-                occ, vis, dist, pose, traj, esc, info = nopool_step(
-                    org, occ, vis, dist, pose, odeltas[i], points[i],
-                    masks[i], origins[i], traj, esc, k0 + i)
-            return occ, vis, dist, pose, traj, esc, info
+                state, occ, vis, dist, pose, traj, esc, info = nopool_step(
+                    state, org, occ, vis, dist, pose, odeltas[i],
+                    points[i], masks[i], origins[i], traj, esc, k0 + i)
+            return state, occ, vis, dist, pose, traj, esc, info
 
-        return jax.jit(unroll_step, donate_argnums=(1, 2, 3, 5, 6))
+        return jax.jit(unroll_step, donate_argnums=(0, 2, 3, 4, 6, 7))
 
     def reorg(state, org, occ, vis, dist, pose_dev):
         """Flush + re-center + regather as a standalone program (host-
@@ -408,7 +418,7 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
             make_unroll,
             jax.jit(solve_part),
             jax.jit(split_map),
-            jax.jit(nopool_step, donate_argnums=(1, 2, 3, 9, 10)),
+            jax.jit(nopool_step, donate_argnums=(0, 2, 3, 4, 10, 11)),
             make_unroll_nopool,
             jax.jit(reorg, donate_argnums=(0, 2, 3, 4)))
 
@@ -652,9 +662,10 @@ class Slam2D:
         pose stays on device, host copy goes stale."""
         k = jnp.int32(self._n_updates)
         if self._resident and self._host_reorg:
-            (self._res_occ, self._res_vis, self._res_dist, self._pose_dev,
-             self._traj, self._esc_dev, info) = self._step_np(
-                self._res_org, self._res_occ, self._res_vis,
+            (self._map, self._res_occ, self._res_vis, self._res_dist,
+             self._pose_dev, self._traj, self._esc_dev,
+             info) = self._step_np(
+                self._map, self._res_org, self._res_occ, self._res_vis,
                 self._res_dist, self._pose_dev, od, points, mask, origin,
                 self._traj, self._esc_dev, k)
             self._res_dirty = True
@@ -716,9 +727,10 @@ class Slam2D:
              self._step_np, self._make_unroll_np,
              self._reorg) = _make_step_resident(self.cfg, self.sopts)
             # host-gated re-orgs need enough wander allowance for the
-            # odometry trigger to be conservative
+            # odometry trigger to be conservative (transient maps are
+            # eligible since the prune went cond-free; the spill tier
+            # keeps the device cond — per-scan pool interaction)
             self._host_reorg = (self.options.host_reorg
-                                and not self.cfg.transient
                                 and self._spill is None
                                 and self._reorg_trigger_m >= 0.5)
         else:
@@ -796,13 +808,13 @@ class Slam2D:
             msk = jnp.stack([p[2] for p in pend])
             org = jnp.stack([p[3] for p in pend])
             if use_np:
-                (self._res_occ, self._res_vis, self._res_dist,
+                (self._map, self._res_occ, self._res_vis, self._res_dist,
                  self._pose_dev, self._traj, self._esc_dev,
                  info) = unroll_prog(
-                    self._res_org, self._res_occ, self._res_vis,
-                    self._res_dist, self._pose_dev, self._traj,
-                    self._esc_dev, jnp.int32(self._n_updates), od, pts,
-                    msk, org)
+                    self._map, self._res_org, self._res_occ,
+                    self._res_vis, self._res_dist, self._pose_dev,
+                    self._traj, self._esc_dev,
+                    jnp.int32(self._n_updates), od, pts, msk, org)
             elif mode == "unroll":
                 (self._map, self._res_org, self._res_occ, self._res_vis,
                  self._res_dist, self._pose_dev, self._traj,

@@ -543,30 +543,31 @@ def prune_transient_pool(state: SlamMapState, cfg: MappingConfig,
                         keys[jnp.minimum(rm_keys, remove.shape[0] - 1)],
                         jnp.int32(-1))
 
-    def do_remove(st):
-        table, freed = pool_mod.table_remove(st.table, rm_keys)
-        # distinct out-of-range rows for non-freed entries (unique scatter
-        # indices -> parallel lowering; see scatter_window)
-        oob = st.dist.shape[0] + jnp.arange(rm_keys.shape[0],
-                                            dtype=jnp.int32)
-        safe = jnp.where(freed >= 0, freed, oob)
-        length = geo.patch_length
-        zero_occ = jnp.zeros((rm_keys.shape[0], length, length),
-                             st.occupied.dtype)
-        zero_vis = jnp.zeros((rm_keys.shape[0], length, length), OCC_DTYPE)
-        max_d = jnp.full((rm_keys.shape[0], length, length),
-                         cfg.distance.max_dist, jnp.float32)
-        return SlamMapState(
-            table,
-            st.occupied.at[safe].set(zero_occ, mode="drop",
-                                     unique_indices=True),
-            st.visited.at[safe].set(zero_vis, mode="drop",
+    # UNCONDITIONAL vectorized removal (r3): the previous lax.cond around a
+    # sequential table_remove staged the pool arrays through its branches
+    # every scan — on the tunnel that staging dominated the whole transient
+    # step. The no-op case (all rm_keys == -1) is now just a masked
+    # gather/scatter pass.
+    table, freed = pool_mod.table_remove_vec(state.table, rm_keys)
+    # distinct out-of-range rows for non-freed entries (unique scatter
+    # indices -> parallel lowering; see scatter_window)
+    oob = state.dist.shape[0] + jnp.arange(rm_keys.shape[0],
+                                           dtype=jnp.int32)
+    safe = jnp.where(freed >= 0, freed, oob)
+    length = geo.patch_length
+    zero_occ = jnp.zeros((rm_keys.shape[0], length, length),
+                         state.occupied.dtype)
+    zero_vis = jnp.zeros((rm_keys.shape[0], length, length), OCC_DTYPE)
+    max_d = jnp.full((rm_keys.shape[0], length, length),
+                     cfg.distance.max_dist, jnp.float32)
+    return SlamMapState(
+        table,
+        state.occupied.at[safe].set(zero_occ, mode="drop",
                                     unique_indices=True),
-            st.dist.at[safe].set(max_d, mode="drop", unique_indices=True),
-        )
-
-    return jax.lax.cond(jnp.any(rm_keys >= 0), do_remove, lambda st: st,
-                        state)
+        state.visited.at[safe].set(zero_vis, mode="drop",
+                                   unique_indices=True),
+        state.dist.at[safe].set(max_d, mode="drop", unique_indices=True),
+    )
 
 
 def _window_patch_boxes(cfg: MappingConfig, org, wp: int):
@@ -700,13 +701,7 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
         # its stale slot; the scatter below routes its block out of range.
         stale = jnp.logical_and(slots >= 0, jnp.logical_not(content_patch))
         rm = jnp.where(stale, keys, jnp.int32(-1)).reshape(-1)
-
-        def do_remove(tb):
-            tb, _ = pool_mod.table_remove(tb, rm)
-            return tb
-
-        table = jax.lax.cond(jnp.any(stale), do_remove, lambda tb: tb,
-                             table)
+        table, _ = pool_mod.table_remove_vec(table, rm)
         # keep the stale slots in the scatter: their window blocks are all
         # default values (that is what made them stale), so the write
         # resets the freed rows — the invariant every partial writeback

@@ -349,6 +349,52 @@ def table_remove(table: PatchTable, keys):
                           n_free=n_free), freed
 
 
+def table_remove_vec(table: PatchTable, keys):
+    """Vectorized exact equivalent of :func:`table_remove` for UNIQUE keys
+    (every caller passes unique patch keys): one probe gather + three
+    unique-index scatters instead of a K-step sequential loop. Built for
+    the per-scan transient prune, where the loop's latency (and its
+    enclosing lax.cond staging the pool arrays) dominated the step.
+
+    Equivalence argument: distinct present keys occupy distinct table
+    positions (open-addressing invariant), so the tombstone/slot scatters
+    are order-independent; the free-list push order is key order in both
+    versions (prefix-sum ranks here, sequential pushes there).
+    """
+    keys = jnp.asarray(keys, jnp.int32)
+    k = keys.shape[0]
+    hsize = table.keys.shape[0]
+    offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
+    base = _hash(keys, hsize)                            # [K]
+    idx = (base[:, None] + offs[None, :]) % hsize        # [K, PW]
+    probed = table.keys[idx]
+    is_match = jnp.logical_and(probed == keys[:, None], keys[:, None] >= 0)
+    first = jnp.min(jnp.where(is_match, offs[None, :],
+                              jnp.int32(PROBE_WINDOW)), axis=1)
+    present = first < PROBE_WINDOW
+    pos = (base + jnp.minimum(first, PROBE_WINDOW - 1)) % hsize
+    slot = table.slots[pos]
+
+    oob = hsize + jnp.arange(k, dtype=jnp.int32)
+    target = jnp.where(present, pos, oob)
+    tkeys = table.keys.at[target].set(TOMBSTONE, mode="drop",
+                                      unique_indices=True)
+    tslots = table.slots.at[target].set(EMPTY, mode="drop",
+                                        unique_indices=True)
+
+    rank = jnp.cumsum(present.astype(jnp.int32)) - 1     # [K]
+    push_at = table.n_free + rank                        # < capacity always
+    foob = table.free_slots.shape[0] + jnp.arange(k, dtype=jnp.int32)
+    ftarget = jnp.where(present, push_at, foob)
+    free = table.free_slots.at[ftarget].set(
+        jnp.where(present, slot, jnp.int32(0)), mode="drop",
+        unique_indices=True)
+    freed = jnp.where(present, slot, EMPTY)
+    n_free = table.n_free + jnp.sum(present.astype(jnp.int32))
+    return table._replace(keys=tkeys, slots=tslots, free_slots=free,
+                          n_free=n_free), freed
+
+
 def active_slot_mask(table: PatchTable):
     """bool[P]: which pool slots are currently allocated."""
     p = table.capacity

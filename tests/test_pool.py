@@ -253,3 +253,29 @@ def test_insert_unique_randomized_vs_dict_oracle():
     np.testing.assert_array_equal(_lookup_all(table, ks),
                                   np.asarray([oracle[int(k)] for k in ks]))
     assert int(table.num_patches()) == len(oracle)
+
+
+def test_table_remove_vec_equals_loop():
+    """table_remove_vec is bit-identical to table_remove for unique keys
+    (including absent keys, -1 padding, and free-list push order)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iris_lama_tpu.sdm import pool
+
+    rng = np.random.default_rng(3)
+    t = pool.table_init(64)
+    keys = rng.choice(20000, size=40, replace=False).astype(np.int32)
+    t, slots = pool.table_insert(t, jnp.asarray(keys))
+    # remove a mix: present keys, absent keys, -1 padding
+    rm = np.concatenate([keys[5:20],
+                         np.asarray([99991, 99992], np.int32),
+                         np.full(7, -1, np.int32)])
+    a, freed_a = pool.table_remove(t, jnp.asarray(rm))
+    b, freed_b = pool.table_remove_vec(t, jnp.asarray(rm))
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(freed_a), np.asarray(freed_b))
+    # removed keys are gone; survivors still resolve
+    looked = np.asarray(pool.table_lookup(b, jnp.asarray(keys)))
+    assert (looked[5:20] == -1).all()
+    assert (looked[:5] >= 0).all() and (looked[20:] >= 0).all()
