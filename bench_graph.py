@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 ATE_BOUND_M = 0.15       # measured ~0.06-0.09; fails on a 2x regression
-MIN_LOOPS = 2            # measured 4-8 on this world
+MIN_LOOPS = 4            # measured 11-16 on this world
 
 
 def main():
