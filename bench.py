@@ -34,7 +34,12 @@ def run_measurement():
     from iris_lama_tpu.utils import simulator
     from iris_lama_tpu.utils.evaluation import ate_rmse
 
-    n_steps = 220
+    # 440 steps (r3, was 220): with the host-gated step at ~1 ms/scan a
+    # 218-update rep lasted ~0.3 s — short enough that a single tunnel
+    # hiccup dragged the rep 2-3x. Twice the updates halves the noise
+    # exposure; the world/gate/quality are unchanged (the loop route is
+    # just sampled twice as densely, still ~0.2 m strides at the gate).
+    n_steps = 440
     sim_cfg = simulator.SimConfig(
         n_steps=n_steps, seed=3,
         laser=simulator.LaserSpec(n_beams=720, max_range=10.0))
@@ -44,8 +49,11 @@ def run_measurement():
     import jax.numpy as jnp
     from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
 
-    opts = Slam2DOptions(resolution=0.05, max_range=10.0, trans_thresh=0.1,
-                         rot_thresh=0.1, capacity=8192, max_iter=50)
+    # gate halved with the stride (440-step sampling): ~437 accepted
+    # updates instead of 218 — double the timed region per rep
+    opts = Slam2DOptions(resolution=0.05, max_range=10.0,
+                         trans_thresh=0.05, rot_thresh=0.05,
+                         capacity=8192, max_iter=50)
 
     # stage all scans on device up-front (offline-log preprocessing)
     nb = beam_bucket(720)
