@@ -88,7 +88,11 @@ def main():
         errs = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
         return len(accepted) / elapsed, float(np.mean(errs)), len(accepted)
 
-    reps = 1 if jax.default_backend() == "cpu" else 3
+    # 5 reps (r3, was 3): a ~0.2-0.5 s rep is exposed to single tunnel
+    # hiccups (r3 spread 361-1217 up/s); a 400-step log was tried instead
+    # and REJECTED — halving the stride doubles the relative odometry
+    # noise per update and degrades mean_err to 33 mm (recorded negative)
+    reps = 1 if jax.default_backend() == "cpu" else 5
     run_once(rep=9)   # warmup: compiles every program shape, discarded
     results = [run_once(rep=r) for r in range(reps)]
     results.sort()
