@@ -35,6 +35,11 @@ max*N (~35x30) to pay for that. The Loc2D number also carries the s8
 covariance/rmse evals its f32 default avoids. A future attempt would
 need cross-particle MXU batching INSIDE the kernel (block-diagonal
 corner dots), which this grid layout cannot express.
+
+RE-MEASURED late r3 (after host-gated re-orgs made the surrounding PF
+step ~10x cheaper): PF 88.3 vs 85.7-90.2 default — now a TIE (the 15%
+loss was partly masked overhead that host-gating removed). Still default
+OFF: no win, and the XLA path stays the bit-exactness oracle.
 """
 
 from __future__ import annotations
