@@ -634,13 +634,18 @@ def _make_programs(opts: PFSlam2DOptions):
         packet queue (valids mask padding, which consumes no key split),
         so the PRNG stream is bit-identical to the sequential driver's."""
         def unroll(pset, key, odeltas, valids, pts, msks, origins):
+            # host_reorg: cond-free bodies (the driver's staging loop
+            # checks the re-org trigger between chunks; the ~12.5 m
+            # wander allowance dwarfs a chunk's travel)
             info = {}
             for i in range(c):
                 pose, key = _motion_scan(opts, pset.pose, key, odeltas[i],
                                          valids[i])
                 k1, key = jax.random.split(key)
                 pset, info = pf_update_step(opts, pset._replace(pose=pose),
-                                            k1, pts[i], msks[i], origins[i])
+                                            k1, pts[i], msks[i],
+                                            origins[i],
+                                            use_cond=not opts.host_reorg)
             return pset, key, info
 
         return jax.jit(unroll, donate_argnums=(0,))
@@ -1020,6 +1025,12 @@ class PFSlam2D:
                 continue
             self.acc_trans = 0.0
             self.acc_rot = 0.0
+            if (opts.host_reorg and self._odom_reorg is not None
+                    and float(np.linalg.norm(
+                        (self._odom_reorg - odoms[k]).xy()))
+                    >= self._pf_trigger_m):
+                flush_pend()           # staged updates precede the re-org
+                self._pf_maybe_reorg(odoms[k])
             accepted.append(k)
             pend.append((packets,) + tuple(staged[k]))
             packets = []

@@ -295,6 +295,25 @@ def test_pf_host_reorg_matches_device_cond():
     pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
     np.testing.assert_array_equal(pa.pose, pb.pose)
     np.testing.assert_array_equal(pa.weight, pb.weight)
+
+    # the host-gated UNROLL replay (cond-free bodies + staging-time
+    # triggers) reproduces the same stream
+    import os
+    from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
+    nb = beam_bucket(120)
+    staged = [tuple(jnp.asarray(x) for x in pad_scan(c, nb))
+              for c in data.clouds]
+    os.environ["IRIS_PF_CHUNK_MODE"] = "unroll"
+    try:
+        c = pf.PFSlam2D(_opts(host_reorg=True, resident_extra_patches=1))
+        c.set_prior(Pose2D(*data.poses_gt[0]))
+        c.update_many_prepadded(staged, list(data.odometry), chunk=8)
+        c._flush_motion()
+    finally:
+        del os.environ["IRIS_PF_CHUNK_MODE"]
+    pc = jax.device_get(c.pset)
+    np.testing.assert_array_equal(pc.pose, pa.pose)
+    np.testing.assert_array_equal(pc.weight, pa.weight)
     # best-particle maps: content-equal (slot order may differ with
     # re-org timing)
     i = a.best_particle_idx()
