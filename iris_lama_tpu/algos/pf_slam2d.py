@@ -894,13 +894,14 @@ class PFSlam2D:
         * "seq" (default) — one fused per-update dispatch (the live
           driver's program): **90.2 up/s**. Fastest: PF's per-update
           device time (~11 ms) already amortizes the tunnel dispatch.
-        * "unroll" — straight-line C-update programs. 81.1 / 76.9 / 73.6
-          up/s at depth 4 / 8 / 16 — monotonically WORSE with depth: XLA
-          does not alias the big [N, W, W] resident grids through the
-          straight-line chain (only program inputs are donated), so each
-          inlined update double-buffers ~180 MB of per-particle grids.
-          The same structure wins on Slam2D (P=1: tiny grids, dispatch
-          saving dominates) — the win does not transfer to batched state.
+        * "unroll" — straight-line C-update programs. With the device
+          re-org cond in the bodies: 81.1 / 76.9 / 73.6 up/s at depth
+          4 / 8 / 16 (each cond stages the [N, W, W] grids + pools
+          through its branches). Cond-free under host-gated re-orgs:
+          84.5 at depth 8 — a TIE with sequential, confirming PF is
+          bound by the per-update IRLS while_loop latency, not by
+          dispatch count or the cond. The same structure wins on Slam2D
+          (P=1) because there the per-scan compute is tiny.
         * "scan" — the lax.scan+cond chunk over raw scans: 62.8 (r2).
         All three are PRNG-stream-identical to the live driver (equality
         tests cover scan + unroll).
