@@ -165,6 +165,15 @@ class Loc2D:
 
     def __init__(self, options: Loc2DOptions = Loc2DOptions(),
                  maps: Optional[LocMaps] = None, seed: int = 0):
+        if maps is not None:
+            # the maps are the authority on patch storage (the reference
+            # reads patch_length from the .smd header, sdm/map.h:95-103);
+            # a mismatched option produced a deep shape error inside the
+            # fused step (found by the r3 verify probe: map built at
+            # patch 16, Loc2D default 32)
+            length = int(maps.distance.dist.shape[-1])
+            if options.patch_size != length:
+                options = dataclasses.replace(options, patch_size=length)
         self.options = options
         log2dim = int(np.log2(options.patch_size))
         self.geo = MapGeometry(options.resolution, log2dim, False)

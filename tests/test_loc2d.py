@@ -210,3 +210,20 @@ def test_full_file_workflow_slam_to_loc(tmp_path):
             errs.append(np.linalg.norm(loc.pose().xy() - data.poses_gt[k][:2]))
     assert len(errs) > 3
     assert np.mean(errs) < 0.2, errs
+
+
+def test_loc2d_adopts_map_patch_size():
+    """r3 verify-probe find: a patch_size option mismatching the maps'
+    actual patch length produced a deep shape error inside the fused
+    step. The maps are the authority (the reference reads patch_length
+    from the .smd header) — Loc2D must adopt it."""
+    data = _sim(n=30)
+    slam = build_map(data, 30)          # patch_size 16 maps
+    maps = maps_from_slam(slam.map, slam.cfg)
+    loc = Loc2D(Loc2DOptions(resolution=0.1, max_range=8.0),  # default 32
+                maps=maps)
+    assert loc.options.patch_size == 16
+    loc.set_prior(Pose2D(*data.poses_gt[0]))
+    loc.update(data.clouds[0], data.odometry[0], 0.0, force_update=True)
+    loc.update(data.clouds[5], data.odometry[5], 0.0, force_update=True)
+    assert np.isfinite(loc.pose().xyr()).all()
