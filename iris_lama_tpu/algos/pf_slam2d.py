@@ -738,6 +738,13 @@ class PFSlam2D:
         self._odom_reorg: Optional[Pose2D] = None
         self._pf_trigger_m = 0.0
         self._n_reorgs = 0   # host-gated re-orgs dispatched
+        # escaped-guard (ADVICE r3): particle spread is unbounded in
+        # principle, so the fixed slack is checked — the step's escaped
+        # counter is harvested once per re-org (async copy started at the
+        # previous re-org), the trigger tightens on escape, and the driver
+        # rebuilds with the device-cond step when no safe trigger remains.
+        self._esc_stash = None
+        self._esc_seen = 0
         if options.host_reorg and options.resident_window:
             cfg = options.mapping_config()
             cells = (cfg.resident_window_cells // 2
@@ -1078,9 +1085,43 @@ class PFSlam2D:
         d = float(np.linalg.norm((self._odom_reorg - odometry).xy()))
         if d < self._pf_trigger_m:
             return
+        self._pf_harvest_escapes()
         self.pset = self._jit_reorg(self.pset)
         self._odom_reorg = odometry
         self._n_reorgs += 1
+        if self.options.host_reorg:
+            esc = self._last_info_dev.get("escaped")
+            if esc is not None and hasattr(esc, "copy_to_host_async"):
+                esc.copy_to_host_async()
+                self._esc_stash = esc
+
+    def _pf_harvest_escapes(self) -> None:
+        """Escaped-guard reaction (ADVICE r3): any particle whose update ran
+        outside the resident safe zone means the fixed slack under-covered
+        odometry drift + particle spread — tighten the trigger; when no safe
+        trigger distance remains, rebuild with the device-cond step."""
+        if self._esc_stash is None:
+            return
+        esc = int(np.asarray(self._esc_stash))   # per-update particle count
+        self._esc_stash = None
+        if esc == 0:
+            return
+        self._esc_seen += 1   # escape events observed
+        self._pf_trigger_m -= max(self.options.host_reorg_slack, 0.25)
+        import warnings
+        if self._pf_trigger_m >= 0.5:
+            warnings.warn(
+                f"PFSlam2D host-gated re-org: {esc} particle-update(s) "
+                f"escaped the resident safe zone; tightening trigger to "
+                f"{self._pf_trigger_m:.2f} m")
+        else:
+            warnings.warn(
+                "PFSlam2D host-gated re-org: escapes persist with no safe "
+                "trigger distance left; rebuilding with the device-cond "
+                "step")
+            self.options = dataclasses.replace(self.options,
+                                               host_reorg=False)
+            self._build()
 
     # -- per-particle spill tier ---------------------------------------------
     def _pf_sync_now(self) -> None:

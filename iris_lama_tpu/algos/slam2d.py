@@ -463,6 +463,14 @@ class Slam2D:
         self._odom_reorg: Optional[Pose2D] = None
         self._esc_dev = jnp.int32(0)
         self._n_reorgs = 0   # host-gated re-orgs dispatched
+        # escaped-guard bookkeeping (ADVICE r3): the counter is harvested
+        # once per re-org via an async d2h copy started at the PREVIOUS
+        # re-org (zero tunnel stalls); on escape the trigger tightens,
+        # and if no safe trigger remains we fall back to the device-cond
+        # step (always correct).
+        self._esc_stash = None
+        self._esc_seen = 0
+        self._extra_slack = 0.0
         # host spill tier (use_compression: LRU compress-on-evict parity)
         self._spill = None
         if options.use_compression and not options.transient_map:
@@ -649,6 +657,7 @@ class Slam2D:
         d = float(np.linalg.norm((self._odom_reorg - odometry).xy()))
         if d < self._reorg_trigger_m:
             return
+        self._harvest_escapes()
         (self._map, self._res_org, self._res_occ, self._res_vis,
          self._res_dist) = self._reorg(
             self._map, self._res_org, self._res_occ, self._res_vis,
@@ -656,10 +665,57 @@ class Slam2D:
         self._odom_reorg = odometry
         self._n_reorgs += 1
         self._res_dirty = False   # pool and window are in sync right now
+        if self._host_reorg:
+            # start the async counter copy harvested at the NEXT re-org
+            # (jnp.add makes a fresh buffer: the live one is donated by
+            # the next step dispatch)
+            snap = jnp.add(self._esc_dev, 0)
+            snap.copy_to_host_async()
+            self._esc_stash = snap
+
+    def _harvest_escapes(self) -> None:
+        """Escaped-guard reaction (ADVICE r3): if any update since the last
+        check ran with its pose outside the resident safe zone, tighten the
+        re-org trigger (double the slack); once no safe trigger distance
+        remains, fall back to the always-correct device-cond step."""
+        if self._esc_stash is None:
+            return
+        esc = int(np.asarray(self._esc_stash))   # async copy already done
+        self._esc_stash = None
+        if esc <= self._esc_seen:
+            return
+        self._esc_seen = esc
+        self._extra_slack += max(self.options.host_reorg_slack, 0.25)
+        import warnings
+        if self._reorg_trigger_m >= 0.5:
+            warnings.warn(
+                f"Slam2D host-gated re-org: {esc} update(s) escaped the "
+                f"resident safe zone (clipped writes); tightening re-org "
+                f"trigger to {self._reorg_trigger_m:.2f} m")
+        else:
+            warnings.warn(
+                f"Slam2D host-gated re-org: {esc} escaped update(s) and no "
+                "safe trigger distance left; falling back to the "
+                "device-cond step")
+            self._host_reorg = False
+
+    def _check_traj_cap(self) -> None:
+        """Warn before the trajectory ring saturates (ADVICE r3): poses
+        past TRAJ_CAP collapse into the last row, which silently corrupts
+        consumers slicing the ring (GraphSlam2D's key-pose gate)."""
+        if (self._n_updates >= self.TRAJ_CAP - 256
+                and not getattr(self, "_traj_warned", False)):
+            self._traj_warned = True
+            import warnings
+            warnings.warn(
+                f"Slam2D trajectory ring is {self._n_updates} of "
+                f"{self.TRAJ_CAP} entries; poses past the cap collapse "
+                "into the last row (raise Slam2D.TRAJ_CAP for longer runs)")
 
     def _do_step_od(self, od, points, mask, origin) -> None:
         """2-3. optimize + map update (single fused device program); the
         pose stays on device, host copy goes stale."""
+        self._check_traj_cap()
         k = jnp.int32(self._n_updates)
         if self._resident and self._host_reorg:
             (self._map, self._res_occ, self._res_vis, self._res_dist,
@@ -718,7 +774,7 @@ class Slam2D:
         cells = (cfg.resident_window_cells // 2 - cfg.resident_margin_cells
                  - cfg.geometry.patch_length)
         return (cells * cfg.geometry.resolution
-                - self.options.host_reorg_slack)
+                - self.options.host_reorg_slack - self._extra_slack)
 
     def _build_programs(self) -> None:
         if self._resident:
@@ -834,6 +890,7 @@ class Slam2D:
             self._pose_host = None
             self._last_info_dev = info
             self._n_updates += n_real
+            self._check_traj_cap()
             pend = []
 
         for k in range(start, len(staged)):

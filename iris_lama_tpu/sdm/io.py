@@ -96,13 +96,46 @@ def _write_patches(f, geo: MapGeometry, patches, cell_bytes_fn, mask_fn):
         f.write(packed.tobytes())
 
 
-def _read_header(f, expect_cell_size: int):
+def _read_exact(f, n: int) -> bytes:
+    """Read exactly n bytes or raise (truncated-file guard)."""
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"truncated .smd: wanted {n} bytes, got {len(buf)}")
+    return buf
+
+
+def _read_header(f, expect_cell_size: int, expect_3d: bool = False,
+                 params_size: int = 0):
+    """Parse + validate the IOHeader (map.h:95-103). Adversarial inputs
+    (truncated, corrupt, absurd field values) raise ValueError with a
+    specific message rather than crashing downstream."""
     magic, version, cell_size, patch_length, n, resolution, is_3d = \
-        _HEADER.unpack(f.read(_HEADER.size))
+        _HEADER.unpack(_read_exact(f, _HEADER.size))
     if magic != MAGIC or version != IO_VERSION:
         raise ValueError("not a .smd map or unsupported version")
     if cell_size != expect_cell_size:
-        raise ValueError(f"cell size mismatch: {cell_size} != {expect_cell_size}")
+        raise ValueError(
+            f"cell size mismatch: {cell_size} != {expect_cell_size}")
+    if bool(is_3d) != expect_3d:
+        raise ValueError(f"dimensionality mismatch: file is_3d={bool(is_3d)}")
+    if not (1 <= patch_length <= 256) or (patch_length & (patch_length - 1)):
+        raise ValueError(f"invalid patch_length {patch_length} "
+                         "(power of two in [1, 256] expected)")
+    if not np.isfinite(resolution) or resolution <= 0.0:
+        raise ValueError(f"invalid resolution {resolution}")
+    # patch-count sanity: the payload must fit in the file
+    volume = patch_length ** (3 if is_3d else 2)
+    words = max(volume >> 6, 1)
+    per_patch = 8 + volume * cell_size + words * 8
+    pos = f.tell()
+    f.seek(0, 2)
+    remaining = f.tell() - pos - params_size
+    f.seek(pos)
+    if n * per_patch > remaining:
+        raise ValueError(
+            f"corrupt .smd: header claims {n} patches "
+            f"({n * per_patch} B) but only {max(remaining, 0)} B remain")
     return patch_length, n, resolution, bool(is_3d)
 
 
@@ -133,9 +166,9 @@ def read_simple_occupancy(path: str, capacity: int = 4096):
         cells = np.zeros(np.asarray(state.cells).shape, np.int8)
         keys, blocks = [], []
         for _ in range(n):
-            (idx,) = struct.unpack("<Q", f.read(8))
-            data = np.frombuffer(f.read(volume), np.int8)
-            f.read(words * 8)  # mask (allocation bitmask, not needed)
+            (idx,) = struct.unpack("<Q", _read_exact(f, 8))
+            data = np.frombuffer(_read_exact(f, volume), np.int8)
+            _read_exact(f, words * 8)  # mask (allocation bitmask, not needed)
             keys.append(_ref_id_to_key(idx))
             blocks.append(data.reshape(patch_length, patch_length))
         table = state.table
@@ -184,10 +217,10 @@ def read_frequency_occupancy(path: str, capacity: int = 4096):
         vis = np.zeros_like(occ)
         keys, blocks = [], []
         for _ in range(n):
-            (idx,) = struct.unpack("<Q", f.read(8))
-            rec = np.frombuffer(f.read(volume * FREQ_DTYPE.itemsize),
+            (idx,) = struct.unpack("<Q", _read_exact(f, 8))
+            rec = np.frombuffer(_read_exact(f, volume * FREQ_DTYPE.itemsize),
                                 FREQ_DTYPE)
-            f.read(words * 8)
+            _read_exact(f, words * 8)
             keys.append(_ref_id_to_key(idx))
             blocks.append(rec)
         table = state.table
@@ -287,9 +320,9 @@ def read_distance_map(path: str, capacity: int = 4096):
     import jax.numpy as jnp
     with open(path, "rb") as f:
         patch_length, n, resolution, is_3d = _read_header(
-            f, DIST_DTYPE.itemsize)
+            f, DIST_DTYPE.itemsize, params_size=4)
         geo = MapGeometry(resolution, int(np.log2(patch_length)), is_3d)
-        (max_sqdist,) = struct.unpack("<I", f.read(4))
+        (max_sqdist,) = struct.unpack("<I", _read_exact(f, 4))
         l2_max = np.sqrt(max_sqdist) * resolution
         dcfg = dist_mod.DistanceConfig(geo, float(l2_max))
         volume = geo.patch_volume
@@ -300,10 +333,10 @@ def read_distance_map(path: str, capacity: int = 4096):
         obst = np.zeros(np.asarray(state.obstacle).shape, bool)
         keys, blocks = [], []
         for _ in range(n):
-            (idx,) = struct.unpack("<Q", f.read(8))
-            rec = np.frombuffer(f.read(volume * DIST_DTYPE.itemsize),
+            (idx,) = struct.unpack("<Q", _read_exact(f, 8))
+            rec = np.frombuffer(_read_exact(f, volume * DIST_DTYPE.itemsize),
                                 DIST_DTYPE)
-            f.read(words * 8)
+            _read_exact(f, words * 8)
             keys.append(_ref_id_to_key(idx))
             blocks.append(rec)
         table = state.table
@@ -319,3 +352,208 @@ def read_distance_map(path: str, capacity: int = 4096):
                                 (rec["sqdist"] == 0)).reshape(patch_length, -1)
         return (dist_mod.DistanceMapState(table, jnp.asarray(obst),
                                           jnp.asarray(dist)), dcfg)
+
+
+# ---------------------------------------------------------------------------
+# ProbabilisticOccupancyMap (cell = {float prob} storing log-odds,
+# probabilistic_occupancy_map.h:43-45; writeParameters writes nothing)
+# ---------------------------------------------------------------------------
+
+def write_probabilistic_occupancy(state: occ_mod.ProbabilisticOccupancyState,
+                                  geo: MapGeometry, path: str) -> None:
+    lo = np.asarray(state.logodds)
+    touched = np.asarray(state.touched)
+    patches = _active_patches(state.table)
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, IO_VERSION, 4, geo.patch_length,
+                             len(patches), geo.resolution, geo.is_3d))
+        _write_patches(f, geo, patches,
+                       lambda s: lo[s].astype("<f4").tobytes(),
+                       lambda s: touched[s])
+
+
+def read_probabilistic_occupancy(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    with open(path, "rb") as f:
+        patch_length, n, resolution, is_3d = _read_header(f, 4)
+        geo = MapGeometry(resolution, int(np.log2(patch_length)), is_3d)
+        volume = geo.patch_volume
+        words = max(volume >> 6, 1)
+        state = occ_mod.probabilistic_init(
+            occ_mod.OccupancyConfig(geo, capacity))
+        lo = np.zeros(np.asarray(state.logodds).shape, np.float32)
+        touched = np.zeros(np.asarray(state.touched).shape, bool)
+        keys, blocks, masks = [], [], []
+        for _ in range(n):
+            (idx,) = struct.unpack("<Q", _read_exact(f, 8))
+            data = np.frombuffer(_read_exact(f, volume * 4), "<f4")
+            mask_words = np.frombuffer(_read_exact(f, words * 8), np.uint8)
+            keys.append(_ref_id_to_key(idx))
+            blocks.append(data.reshape(patch_length, patch_length))
+            masks.append(np.unpackbits(mask_words, bitorder="little")[
+                :volume].astype(bool).reshape(patch_length, patch_length))
+        table = state.table
+        if keys:
+            table, slots = pool_mod.table_insert(
+                table, jnp.asarray(np.asarray(keys, np.int32)))
+            for s, b, m in zip(np.asarray(slots), blocks, masks):
+                lo[int(s)] = b
+                touched[int(s)] = m
+        return (occ_mod.ProbabilisticOccupancyState(
+            table, jnp.asarray(lo), jnp.asarray(touched)), geo)
+
+
+# ---------------------------------------------------------------------------
+# 3D maps (is_3d=1): same wire format with patch_volume = L^3; the patch id
+# hash is (x*UC + y)*UC + z (map.cpp:578-585 unhash); intra-patch linear
+# order is x | y<<log2dim | z<<2*log2dim (map.h:182-189) — x fastest, i.e.
+# C-order [z][y][x], exactly this build's 3D cell array layout.
+# ---------------------------------------------------------------------------
+
+def _key3_to_ref_id(key: int) -> int:
+    from .occupancy3d import PKEY3_BITS, CENTER_PATCH3
+    m = (1 << PKEY3_BITS) - 1
+    px, py, pz = key >> (2 * PKEY3_BITS), (key >> PKEY3_BITS) & m, key & m
+    half = UNIVERSAL_CONSTANT >> 1
+    rx = px - CENTER_PATCH3 + half
+    ry = py - CENTER_PATCH3 + half
+    rz = pz - CENTER_PATCH3 + half
+    return (rx * UNIVERSAL_CONSTANT + ry) * UNIVERSAL_CONSTANT + rz
+
+
+def _ref_id_to_key3(idx: int) -> int:
+    from .occupancy3d import PKEY3_BITS, CENTER_PATCH3
+    half = UNIVERSAL_CONSTANT >> 1
+    rx, rem = divmod(idx, UNIVERSAL_CONSTANT * UNIVERSAL_CONSTANT)
+    ry, rz = divmod(rem, UNIVERSAL_CONSTANT)
+    px = rx - half + CENTER_PATCH3
+    py = ry - half + CENTER_PATCH3
+    pz = rz - half + CENTER_PATCH3
+    lim = 1 << PKEY3_BITS
+    if not (0 <= px < lim and 0 <= py < lim and 0 <= pz < lim):
+        raise ValueError(f"3D patch id {idx} outside this build's range")
+    return (px << (2 * PKEY3_BITS)) | (py << PKEY3_BITS) | pz
+
+
+def _write_smd3(path, geo3, table, cell_size, cell_bytes_fn, mask_fn):
+    length = geo3.patch_length
+    volume = length ** 3
+    words = max(volume >> 6, 1)
+    patches = _active_patches(table)
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, IO_VERSION, cell_size, length,
+                             len(patches), geo3.resolution, True))
+        for key, slot in patches:
+            f.write(struct.pack("<Q", _key3_to_ref_id(key)))
+            f.write(cell_bytes_fn(slot))
+            bits = np.asarray(mask_fn(slot), bool).reshape(-1)
+            packed = np.packbits(bits, bitorder="little")
+            packed = np.pad(packed, (0, words * 8 - len(packed)))
+            f.write(packed.tobytes())
+
+
+def _read_smd3(path, cell_size):
+    """Yield (patch_length, resolution, [(key, cell_buf, mask_bool_flat)])."""
+    with open(path, "rb") as f:
+        patch_length, n, resolution, _ = _read_header(f, cell_size,
+                                                      expect_3d=True)
+        volume = patch_length ** 3
+        words = max(volume >> 6, 1)
+        out = []
+        for _ in range(n):
+            (idx,) = struct.unpack("<Q", _read_exact(f, 8))
+            buf = _read_exact(f, volume * cell_size)
+            mask = np.unpackbits(
+                np.frombuffer(_read_exact(f, words * 8), np.uint8),
+                bitorder="little")[:volume].astype(bool)
+            out.append((_ref_id_to_key3(idx), buf, mask))
+    return patch_length, resolution, out
+
+
+def write_simple3(state, geo3, path: str) -> None:
+    cells = np.asarray(state.cells)
+    _write_smd3(path, geo3, state.table, 1,
+                lambda s: cells[s].astype(np.int8).tobytes(),
+                lambda s: cells[s] != 0)
+
+
+def read_simple3(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    from . import occupancy3d as o3
+    patch_length, resolution, recs = _read_smd3(path, 1)
+    geo3 = o3.MapGeometry3(resolution, int(np.log2(patch_length)))
+    state = o3.simple3_init(geo3, capacity)
+    cells = np.zeros(np.asarray(state.cells).shape, np.int8)
+    table = state.table
+    if recs:
+        table, slots = pool_mod.table_insert(
+            table, jnp.asarray(np.asarray([k for k, _, _ in recs],
+                                          np.int32)))
+        for s, (_, buf, _) in zip(np.asarray(slots), recs):
+            cells[int(s)] = np.frombuffer(buf, np.int8).reshape(
+                patch_length, patch_length, patch_length)
+    return o3.Simple3State(table, jnp.asarray(cells)), geo3
+
+
+def write_frequency3(state, geo3, path: str) -> None:
+    occ = np.asarray(state.occupied)
+    vis = np.asarray(state.visited)
+
+    def cell_bytes(slot):
+        rec = np.zeros(occ[slot].size, FREQ_DTYPE)
+        rec["occupied"] = occ[slot].reshape(-1)
+        rec["visited"] = vis[slot].reshape(-1)
+        return rec.tobytes()
+
+    _write_smd3(path, geo3, state.table, FREQ_DTYPE.itemsize, cell_bytes,
+                lambda s: vis[s] > 0)
+
+
+def read_frequency3(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    from . import occupancy3d as o3
+    patch_length, resolution, recs = _read_smd3(path, FREQ_DTYPE.itemsize)
+    geo3 = o3.MapGeometry3(resolution, int(np.log2(patch_length)))
+    state = o3.frequency3_init(geo3, capacity)
+    occ = np.zeros(np.asarray(state.occupied).shape, np.uint16)
+    vis = np.zeros_like(occ)
+    table = state.table
+    if recs:
+        table, slots = pool_mod.table_insert(
+            table, jnp.asarray(np.asarray([k for k, _, _ in recs],
+                                          np.int32)))
+        shape = (patch_length,) * 3
+        for s, (_, buf, _) in zip(np.asarray(slots), recs):
+            rec = np.frombuffer(buf, FREQ_DTYPE)
+            occ[int(s)] = rec["occupied"].reshape(shape)
+            vis[int(s)] = rec["visited"].reshape(shape)
+    return o3.Frequency3State(table, jnp.asarray(occ), jnp.asarray(vis)), geo3
+
+
+def write_probabilistic3(state, geo3, path: str) -> None:
+    lo = np.asarray(state.logodds)
+    touched = np.asarray(state.touched)
+    _write_smd3(path, geo3, state.table, 4,
+                lambda s: lo[s].astype("<f4").tobytes(),
+                lambda s: touched[s])
+
+
+def read_probabilistic3(path: str, capacity: int = 4096):
+    import jax.numpy as jnp
+    from . import occupancy3d as o3
+    patch_length, resolution, recs = _read_smd3(path, 4)
+    geo3 = o3.MapGeometry3(resolution, int(np.log2(patch_length)))
+    state = o3.probabilistic3_init(geo3, capacity)
+    lo = np.zeros(np.asarray(state.logodds).shape, np.float32)
+    touched = np.zeros(np.asarray(state.touched).shape, bool)
+    table = state.table
+    if recs:
+        table, slots = pool_mod.table_insert(
+            table, jnp.asarray(np.asarray([k for k, _, _ in recs],
+                                          np.int32)))
+        shape = (patch_length,) * 3
+        for s, (_, buf, m) in zip(np.asarray(slots), recs):
+            lo[int(s)] = np.frombuffer(buf, "<f4").reshape(shape)
+            touched[int(s)] = m.reshape(shape)
+    return (o3.Probabilistic3State(table, jnp.asarray(lo),
+                                   jnp.asarray(touched)), geo3)

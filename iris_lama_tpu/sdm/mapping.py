@@ -376,14 +376,11 @@ def scan_window_compute(cfg: MappingConfig, pose, points, mask, origin,
         # prob > 0.25  <=>  4*occ > vis (frequency_occupancy_map.cpp:40-44)
         obst_new = (4 * occ_new) > vis_new
     else:
-        # log-odds update with end-of-scan clamping
+        # log-odds update with per-visit clamping
         # (probabilistic_occupancy_map.cpp:51-59, 82-107)
-        from .occupancy import (PROB_HIT, PROB_MISS, PROB_CLAMP_MIN,
-                                PROB_CLAMP_MAX)
-        misses = (vis_add - occ_add).astype(jnp.float32)
-        occ_new = jnp.clip(
-            occ_w + occ_add.astype(jnp.float32) * PROB_HIT
-            + misses * PROB_MISS, PROB_CLAMP_MIN, PROB_CLAMP_MAX)
+        from .occupancy import probabilistic_saturate
+        misses = vis_add - occ_add
+        occ_new = probabilistic_saturate(occ_w, occ_add, misses)
         # occ_thresh_ = 0 log-odds (probabilistic_occupancy_map.cpp:60)
         obst_new = occ_new > 0.0
 

@@ -45,6 +45,31 @@ PROB_CLAMP_MIN = _logodds(0.12)
 PROB_CLAMP_MAX = _logodds(0.97)
 
 
+def probabilistic_saturate(lo, hit_counts, miss_counts):
+    """Per-visit-clamped log-odds update, order-independent given counts.
+
+    The reference clamps after EVERY visit (one-sided: setOccupied clamps at
+    clamp_max, setFree at clamp_min — probabilistic_occupancy_map.cpp:82-107),
+    not once per scan. For a pure hit (or pure miss) run the per-visit clamp
+    has an exact closed form: iterating ``x <- min(x + hit, cmax)`` h times
+    equals ``min(x + h*hit, cmax)`` (monotone), likewise for misses at cmin.
+    Mixed cells are resolved in a canonical per-cell order — all hits, then
+    all misses — matching the reference's per-beam order (endpoint setOccupied
+    precedes that beam's ray setFree calls, src/slam2d.cpp:308-316); the
+    cross-beam interleaving is scan-order-arbitrary in the reference, so any
+    canonical order lies inside its own nondeterminism envelope. Unlike
+    end-of-sum clamping, a saturated cell receiving mixed evidence
+    de-saturates exactly as the sequential reference does.
+
+    State invariant: ``lo`` stays within [cmin, cmax] (init 0 is interior),
+    so the unconditional min/max below are no-ops for untouched cells.
+    """
+    h = hit_counts.astype(jnp.float32)
+    m = miss_counts.astype(jnp.float32)
+    lo = jnp.minimum(lo + h * PROB_HIT, PROB_CLAMP_MAX)
+    return jnp.maximum(lo + m * PROB_MISS, PROB_CLAMP_MIN)
+
+
 @dataclasses.dataclass(frozen=True)
 class OccupancyConfig:
     geometry: MapGeometry = MapGeometry()
@@ -211,15 +236,19 @@ def frequency_prune(state: FrequencyOccupancyState) -> FrequencyOccupancyState:
 
 def probabilistic_apply(state: ProbabilisticOccupancyState, geo, cells,
                         hits, misses) -> ProbabilisticOccupancyState:
-    """Apply per-cell hit/miss counts with end-of-scan clamping."""
+    """Apply per-cell hit/miss counts with per-visit clamping.
+
+    Duplicate cells in ``cells`` accumulate their counts first (scatter-add),
+    then the per-visit saturating closed form applies pool-wide
+    (probabilistic_saturate)."""
     trash = state.logodds.shape[0] - 1
     table, slots, idx = _locate_alloc(state.table, geo, cells, trash)
-    delta = (hits.astype(jnp.float32) * PROB_HIT +
-             misses.astype(jnp.float32) * PROB_MISS)
-    lo = state.logodds.at[idx].add(delta)
+    zeros = jnp.zeros_like(state.logodds)
+    hcount = zeros.at[idx].add(hits.astype(jnp.float32))
+    mcount = zeros.at[idx].add(misses.astype(jnp.float32))
+    lo = probabilistic_saturate(state.logodds, hcount, mcount)
     touched_add = jnp.logical_or(hits > 0, misses > 0)
     touched = state.touched.at[idx].max(touched_add)
-    lo = jnp.clip(lo, PROB_CLAMP_MIN, PROB_CLAMP_MAX)
     lo = lo.at[trash].set(0.0)
     touched = touched.at[trash].set(False)
     return ProbabilisticOccupancyState(table, lo, touched)

@@ -194,14 +194,13 @@ def simple3_query(state: Simple3State, geo, cells):
 
 def probabilistic3_apply(state: Probabilistic3State, geo, cells, hits,
                          misses):
-    from .occupancy import (PROB_HIT, PROB_MISS, PROB_CLAMP_MIN,
-                            PROB_CLAMP_MAX)
+    from .occupancy import probabilistic_saturate
     trash = state.logodds.shape[0] - 1
     table, slots, idx = _locate_alloc(state.table, geo, cells, trash)
-    delta = (hits.astype(jnp.float32) * PROB_HIT
-             + misses.astype(jnp.float32) * PROB_MISS)
-    lo = jnp.clip(state.logodds.at[idx].add(delta),
-                  PROB_CLAMP_MIN, PROB_CLAMP_MAX)
+    zeros = jnp.zeros_like(state.logodds)
+    hcount = zeros.at[idx].add(hits.astype(jnp.float32))
+    mcount = zeros.at[idx].add(misses.astype(jnp.float32))
+    lo = probabilistic_saturate(state.logodds, hcount, mcount)
     touched = state.touched.at[idx].max(jnp.logical_or(hits > 0, misses > 0))
     lo = lo.at[trash].set(0.0)
     return Probabilistic3State(table, lo, touched.at[trash].set(False))

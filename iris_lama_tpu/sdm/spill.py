@@ -438,8 +438,11 @@ class PFSpillStore(HostSpillStore):
         if len(far) == 0:
             return maps, False
         far = far[np.argsort(-d[d > keep])]          # farthest first
-        # smallest farthest-first prefix that brings every particle to low
-        member = (active[:, :, None] == far[None, None, :]).any(axis=1)
+        # smallest farthest-first prefix that brings every particle to low;
+        # per-particle np.isin keeps this O(N*(capacity+F)) memory — the
+        # one-shot broadcast ([N, capacity, F] bools) was ~0.5 GB at
+        # N=30/capacity=4096 and multi-GB for larger pools (ADVICE r3)
+        member = np.stack([np.isin(far, row[row >= 0]) for row in active])
         cum = member.cumsum(axis=1)                  # [N, F]
         after = counts[:, None] - cum
         ok = (after <= self.low).all(axis=0)

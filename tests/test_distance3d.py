@@ -95,6 +95,50 @@ def test_remove_obstacles_raise_equivalent():
     assert len(_obstacle_cells(state)) == len(a)
 
 
+def test_capped_max_dirty_with_overflow_carry():
+    """O(dirty) path: a small max_dirty recomputes only that many patches
+    per call, keeps the overflow dirty, and repeated calls drain to the
+    exact full-recompute result."""
+    state = distance3_init(CFG, capacity=256)
+    pts = np.array([[0.15, 0.22, 0.31], [0.55, 0.18, 0.40],
+                    [-0.42, -0.13, 0.08], [0.8, -0.6, 0.2]])
+    state = add_obstacles3(state, CFG, _cells(pts))
+    n_dirty = int(np.asarray(
+        (state.dirty[:-1]
+         & pool_mod.active_slot_mask(state.table)).sum()))
+    assert n_dirty > 3
+    # drain 3 patches at a time; the overflow must carry its dirty bit
+    state = update3(state, CFG, max_dirty=3)
+    rem = int(np.asarray(
+        (state.dirty[:-1]
+         & pool_mod.active_slot_mask(state.table)).sum()))
+    assert rem == n_dirty - 3
+    while rem > 0:
+        state = update3(state, CFG, max_dirty=3)
+        rem = int(np.asarray(
+            (state.dirty[:-1]
+             & pool_mod.active_slot_mask(state.table)).sum()))
+    _check_exact(state)
+
+
+def test_capped_max_dirty_incremental_remove():
+    """Capped drain is exact across an add-then-remove sequence too."""
+    a = np.array([[0.1, 0.1, 0.1], [0.3, 0.1, 0.1]])
+    b = np.array([[0.1, 0.35, 0.1]])
+    state = distance3_init(CFG, capacity=256)
+    state = add_obstacles3(state, CFG, _cells(np.vstack([a, b])))
+    for _ in range(64):
+        state = update3(state, CFG, max_dirty=4)
+        if not bool(np.asarray(state.dirty.any())):
+            break
+    state = remove_obstacles3(state, CFG, _cells(b))
+    for _ in range(64):
+        state = update3(state, CFG, max_dirty=4)
+        if not bool(np.asarray(state.dirty.any())):
+            break
+    _check_exact(state)
+
+
 def test_trilinear_interp_and_gradient():
     state = distance3_init(CFG, capacity=256)
     pts = np.array([[0.2, 0.2, 0.2]])

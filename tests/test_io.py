@@ -317,3 +317,249 @@ def test_package_lazy_imports():
     assert lama.Slam2DOptions().resolution == 0.05
     assert lama.PFSlam2DOptions().particles == 30
     assert lama.SimplePGO is not None
+
+
+# ---------------------------------------------------------------------------
+# Adversarial fixtures (VERDICT r3 #10): truncated / corrupt / extreme
+# headers must raise a clean ValueError, never crash or loop.
+# ---------------------------------------------------------------------------
+
+def _write_bytes(tmp_path, name, data):
+    p = str(tmp_path / name)
+    open(p, "wb").write(data)
+    return p
+
+
+def test_smd_truncated_at_every_boundary(tmp_path):
+    """Cut a valid stream at every structural boundary (and a few odd
+    offsets): reader must raise ValueError, not crash."""
+    import pytest
+    cfg, state = build_small_map()
+    full_p = str(tmp_path / "full.smd")
+    sdm_io.write_frequency_occupancy(state, cfg.geometry, full_p)
+    raw = open(full_p, "rb").read()
+    vol, words = cfg.geometry.patch_volume, max(cfg.geometry.patch_volume >> 6, 1)
+    per_patch = 8 + vol * 4 + words * 8
+    cuts = [0, 7, 31, 32, 33, 32 + 4, 32 + per_patch - 1, 32 + per_patch + 3,
+            len(raw) - 1]
+    for cut in cuts:
+        p = _write_bytes(tmp_path, f"cut{cut}.smd", raw[:cut])
+        with pytest.raises(ValueError):
+            sdm_io.read_frequency_occupancy(p)
+
+
+def test_smd_corrupt_headers(tmp_path):
+    import pytest
+    L = 8
+    good = _golden_header(4, L, 0, 0.05)
+
+    def hdr(**kw):
+        d = dict(cell_size=4, patch_length=L, n=0, resolution=0.05,
+                 is_3d=False, magic=0x6D64732E, version=0x0103)
+        d.update(kw)
+        return struct.pack("<IH2xIIQf?3x", d["magic"], d["version"],
+                           d["cell_size"], d["patch_length"], d["n"],
+                           d["resolution"], d["is_3d"])
+
+    bad = {
+        "magic": hdr(magic=0xDEADBEEF),
+        "version": hdr(version=0x0999),
+        "cellsize": hdr(cell_size=77),
+        "patchlen_zero": hdr(patch_length=0),
+        "patchlen_nonpow2": hdr(patch_length=12),
+        "patchlen_huge": hdr(patch_length=1 << 20),
+        "res_zero": hdr(resolution=0.0),
+        "res_neg": hdr(resolution=-0.1),
+        "res_nan": hdr(resolution=float("nan")),
+        "res_inf": hdr(resolution=float("inf")),
+        "n_overclaim": hdr(n=10 ** 6),          # claims 1M patches, 0 bytes
+        "n_maxu64": hdr(n=(1 << 64) - 1),       # must not overflow / loop
+        "is3d_for_2d_reader": hdr(is_3d=True),
+    }
+    for name, data in bad.items():
+        p = _write_bytes(tmp_path, f"{name}.smd", data)
+        with pytest.raises(ValueError):
+            sdm_io.read_frequency_occupancy(p)
+    # the good empty header parses fine
+    p = _write_bytes(tmp_path, "empty.smd", good)
+    loaded, geo = sdm_io.read_frequency_occupancy(p)
+    assert int(np.asarray(loaded.table.num_patches())) == 0
+
+
+def test_smd_garbage_patch_id(tmp_path):
+    """A patch id outside the representable world range raises cleanly."""
+    import pytest
+    L, vol = 8, 64
+    cells = np.zeros(vol, sdm_io.FREQ_DTYPE)
+    packed = np.packbits(np.zeros(vol, bool), bitorder="little").tobytes()
+    fixture = (_golden_header(4, L, 1, 0.05)
+               + struct.pack("<Q", (1 << 63))     # absurd id
+               + cells.tobytes() + packed)
+    p = _write_bytes(tmp_path, "garbage_id.smd", fixture)
+    with pytest.raises(ValueError):
+        sdm_io.read_frequency_occupancy(p)
+
+
+def test_probabilistic_roundtrip(tmp_path):
+    """ProbabilisticOccupancyMap .smd (cell = float log-odds,
+    probabilistic_occupancy_map.h:43-45) round-trips exactly, including
+    the touched mask (recovered from the allocation bitmask)."""
+    geo = MapGeometry(0.1, 3, False)
+    state = occ_mod.probabilistic_init(occ_mod.OccupancyConfig(geo, 64))
+    pts = np.array([[0.2, 0.3], [1.5, -0.7], [0.2, 0.35]])
+    cells = geo.w2m(jnp.asarray(pts, jnp.float32))
+    state = occ_mod.probabilistic_apply(state, geo, cells,
+                                        jnp.asarray([3, 0, 1]),
+                                        jnp.asarray([0, 5, 2]))
+    path = str(tmp_path / "prob.smd")
+    sdm_io.write_probabilistic_occupancy(state, geo, path)
+    loaded, geo2 = sdm_io.read_probabilistic_occupancy(path, capacity=64)
+    from iris_lama_tpu.sdm import pool as pool_mod
+    keys = np.asarray(pool_mod.active_keys(state.table)[0])
+    mask = np.asarray(pool_mod.active_slot_mask(state.table))
+    for slot in np.nonzero(mask)[0]:
+        s2 = int(np.asarray(pool_mod.table_lookup(
+            loaded.table, jnp.asarray([int(keys[slot])], jnp.int32)))[0])
+        assert s2 >= 0
+        np.testing.assert_allclose(np.asarray(loaded.logodds)[s2],
+                                   np.asarray(state.logodds)[slot])
+        np.testing.assert_array_equal(np.asarray(loaded.touched)[s2],
+                                      np.asarray(state.touched)[slot])
+
+
+def test_golden_smd_probabilistic_fixture(tmp_path):
+    """Hand-built probabilistic stream (reference patch-center convention):
+    one cell at local (x=1, y=6) with log-odds 0.847."""
+    L, vol = 8, 64
+    cells = np.zeros(vol, "<f4")
+    cells[6 * L + 1] = 0.847
+    bits = np.zeros(vol, bool)
+    bits[6 * L + 1] = True
+    fixture = (_golden_header(4, L, 1, 0.05)
+               + struct.pack("<Q", _golden_patch_id(-1, 4))
+               + cells.tobytes()
+               + np.packbits(bits, bitorder="little").tobytes())
+    p = _write_bytes(tmp_path, "golden_prob.smd", fixture)
+    loaded, geo = sdm_io.read_probabilistic_occupancy(p, capacity=64)
+    from iris_lama_tpu.sdm import pool as pool_mod
+    from iris_lama_tpu.sdm.geometry import CENTER_PATCH
+    key = ((-1 + CENTER_PATCH) << 15) | (4 + CENTER_PATCH)
+    slot = int(np.asarray(pool_mod.table_lookup(
+        loaded.table, jnp.asarray([key], jnp.int32)))[0])
+    assert slot >= 0
+    got = np.asarray(loaded.logodds)[slot]
+    assert abs(got[6, 1] - 0.847) < 1e-6 and np.count_nonzero(got) == 1
+    assert np.asarray(loaded.touched)[slot][6, 1]
+    out = str(tmp_path / "rewrite_prob.smd")
+    sdm_io.write_probabilistic_occupancy(loaded, geo, out)
+    assert open(out, "rb").read() == fixture
+
+
+# ---------------------------------------------------------------------------
+# 3D .smd (is_3d=1, patch_volume = L^3, 3-coordinate UC patch ids —
+# map.cpp:578-585)
+# ---------------------------------------------------------------------------
+
+def _golden_patch_id3(px_rel, py_rel, pz_rel):
+    h = _UC >> 1
+    return (((px_rel + h) * _UC) + (py_rel + h)) * _UC + (pz_rel + h)
+
+
+def _build_3d_freq():
+    from iris_lama_tpu.sdm import occupancy3d as o3
+    geo3 = o3.MapGeometry3(0.1, 2)   # 4-cell patches
+    state = o3.frequency3_init(geo3, 256)
+    pts = np.array([[0.1, 0.2, 0.3], [1.1, -0.4, 0.6], [0.1, 0.2, 0.35]],
+                   np.float32)
+    state = o3.frequency3_insert_scan(
+        state, geo3, jnp.asarray(pts), jnp.ones(3, bool),
+        jnp.zeros(3, jnp.float32), max_steps=16)
+    return geo3, state
+
+
+def test_smd3_frequency_roundtrip(tmp_path):
+    from iris_lama_tpu.sdm import pool as pool_mod
+    geo3, state = _build_3d_freq()
+    path = str(tmp_path / "freq3.smd")
+    sdm_io.write_frequency3(state, geo3, path)
+    # header says is_3d; the 2D reader must refuse it
+    import pytest
+    with pytest.raises(ValueError):
+        sdm_io.read_frequency_occupancy(path)
+    loaded, geo2 = sdm_io.read_frequency3(path, capacity=64)
+    assert geo2.patch_length == geo3.patch_length
+    keys = np.asarray(pool_mod.active_keys(state.table)[0])
+    mask = np.asarray(pool_mod.active_slot_mask(state.table))
+    for slot in np.nonzero(mask)[0]:
+        s2 = int(np.asarray(pool_mod.table_lookup(
+            loaded.table, jnp.asarray([int(keys[slot])], jnp.int32)))[0])
+        assert s2 >= 0
+        np.testing.assert_array_equal(np.asarray(loaded.occupied)[s2],
+                                      np.asarray(state.occupied)[slot])
+        np.testing.assert_array_equal(np.asarray(loaded.visited)[s2],
+                                      np.asarray(state.visited)[slot])
+
+
+def test_smd3_simple_and_probabilistic_roundtrip(tmp_path):
+    from iris_lama_tpu.sdm import occupancy3d as o3
+    from iris_lama_tpu.sdm import pool as pool_mod
+    geo3 = o3.MapGeometry3(0.05, 2)
+    sstate = o3.simple3_init(geo3, 64)
+    pts = np.array([[0.1, 0.1, 0.1], [-0.5, 0.3, 0.2]])
+    cells = geo3.w2m(jnp.asarray(pts, jnp.float32))
+    sstate = o3.simple3_set(sstate, geo3, cells, 1)
+    p1 = str(tmp_path / "simple3.smd")
+    sdm_io.write_simple3(sstate, geo3, p1)
+    l1, g1 = sdm_io.read_simple3(p1, capacity=64)
+    keys = np.asarray(pool_mod.active_keys(sstate.table)[0])
+    mask = np.asarray(pool_mod.active_slot_mask(sstate.table))
+    for slot in np.nonzero(mask)[0]:
+        s2 = int(np.asarray(pool_mod.table_lookup(
+            l1.table, jnp.asarray([int(keys[slot])], jnp.int32)))[0])
+        np.testing.assert_array_equal(np.asarray(l1.cells)[s2],
+                                      np.asarray(sstate.cells)[slot])
+
+    pstate = o3.probabilistic3_init(geo3, 64)
+    pstate = o3.probabilistic3_apply(pstate, geo3, cells,
+                                     jnp.asarray([2, 0]), jnp.asarray([1, 4]))
+    p2 = str(tmp_path / "prob3.smd")
+    sdm_io.write_probabilistic3(pstate, geo3, p2)
+    l2, g2 = sdm_io.read_probabilistic3(p2, capacity=64)
+    keys = np.asarray(pool_mod.active_keys(pstate.table)[0])
+    mask = np.asarray(pool_mod.active_slot_mask(pstate.table))
+    for slot in np.nonzero(mask)[0]:
+        s2 = int(np.asarray(pool_mod.table_lookup(
+            l2.table, jnp.asarray([int(keys[slot])], jnp.int32)))[0])
+        np.testing.assert_allclose(np.asarray(l2.logodds)[s2],
+                                   np.asarray(pstate.logodds)[slot])
+
+
+def test_golden_smd3_fixture(tmp_path):
+    """Hand-built 3D stream (reference conventions): 4^3 patch, one simple-
+    occupancy cell at local (x=1, y=2, z=3), patch offset (1, -2, 0). The
+    cell linear index is x | y<<log2dim | z<<2log2dim (map.h:182-189)."""
+    L = 4
+    vol = L ** 3
+    cells = np.zeros(vol, np.int8)
+    lin = 1 | (2 << 2) | (3 << 4)
+    cells[lin] = 1
+    bits = np.zeros(vol, bool)
+    bits[lin] = True
+    fixture = (_golden_header(1, L, 1, 0.1, is_3d=True)
+               + struct.pack("<Q", _golden_patch_id3(1, -2, 0))
+               + cells.tobytes()
+               + np.packbits(bits, bitorder="little").tobytes())
+    p = _write_bytes(tmp_path, "golden3.smd", fixture)
+    loaded, geo3 = sdm_io.read_simple3(p, capacity=64)
+    from iris_lama_tpu.sdm import pool as pool_mod
+    from iris_lama_tpu.sdm.occupancy3d import CENTER_PATCH3, PKEY3_BITS
+    key = (((1 + CENTER_PATCH3) << (2 * PKEY3_BITS))
+           | ((-2 + CENTER_PATCH3) << PKEY3_BITS) | CENTER_PATCH3)
+    slot = int(np.asarray(pool_mod.table_lookup(
+        loaded.table, jnp.asarray([key], jnp.int32)))[0])
+    assert slot >= 0
+    got = np.asarray(loaded.cells)[slot]
+    assert got[3, 2, 1] == 1 and np.count_nonzero(got) == 1
+    out = str(tmp_path / "rewrite3.smd")
+    sdm_io.write_simple3(loaded, geo3, out)
+    assert open(out, "rb").read() == fixture

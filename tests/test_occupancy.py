@@ -75,3 +75,54 @@ def test_probabilistic_logodds():
     np.testing.assert_allclose(float(occ.probabilistic_prob(state, GEO, c)[0]),
                                0.12, atol=1e-5)
     assert bool(occ.probabilistic_is_free(state, GEO, c)[0])
+
+
+def _seq_per_visit(lo0, hits, misses):
+    """Sequential per-visit oracle (probabilistic_occupancy_map.cpp:82-107),
+    canonical order: all hits then all misses (see probabilistic_saturate)."""
+    lo = float(lo0)
+    for _ in range(int(hits)):
+        lo = min(lo + occ.PROB_HIT, occ.PROB_CLAMP_MAX)
+    for _ in range(int(misses)):
+        lo = max(lo + occ.PROB_MISS, occ.PROB_CLAMP_MIN)
+    return lo
+
+
+def test_probabilistic_per_visit_clamp_oracle():
+    """Saturating closed form == per-visit sequential clamping, including
+    saturated cells receiving mixed evidence over many scans."""
+    r = np.random.default_rng(7)
+    lo = np.zeros(64, np.float32)
+    for _ in range(40):
+        hits = r.integers(0, 8, size=64)
+        misses = r.integers(0, 8, size=64)
+        got = np.asarray(occ.probabilistic_saturate(
+            jnp.asarray(lo), jnp.asarray(hits), jnp.asarray(misses)))
+        want = np.array([_seq_per_visit(lo[i], hits[i], misses[i])
+                         for i in range(64)], np.float32)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        lo = got
+
+
+def test_probabilistic_saturated_mixed_desaturates():
+    """A cell pinned at clamp_max that receives 1 hit + 1 miss in one scan
+    must land BELOW clamp_max (per-visit clamp absorbs the hit at the rail);
+    the old end-of-sum clamp incorrectly kept it saturated."""
+    lo = jnp.asarray([occ.PROB_CLAMP_MAX])
+    got = float(occ.probabilistic_saturate(lo, jnp.asarray([1]),
+                                           jnp.asarray([1]))[0])
+    np.testing.assert_allclose(got, occ.PROB_CLAMP_MAX + occ.PROB_MISS,
+                               atol=1e-6)
+
+
+def test_probabilistic_apply_duplicate_cells():
+    """Duplicate cells in one apply() accumulate counts before saturating."""
+    state = occ.probabilistic_init(occ.OccupancyConfig(GEO, 64))
+    c = cells_of([[1.0, 1.0], [1.0, 1.0]])
+    state = occ.probabilistic_apply(state, GEO, c, jnp.asarray([1, 2]),
+                                    jnp.asarray([0, 1]))
+    want = _seq_per_visit(0.0, 3, 1)
+    one = cells_of([[1.0, 1.0]])
+    lo = float(np.log(1.0 / (1.0 / float(
+        occ.probabilistic_prob(state, GEO, one)[0]) - 1.0)))
+    np.testing.assert_allclose(lo, want, atol=1e-5)

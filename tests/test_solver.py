@@ -191,7 +191,8 @@ def test_covariance_svd_fallback_rank_deficient():
 
     cov = np.asarray(nlls.covariance(eval_fn, UNIT, jnp.zeros(3)))
     _, s, vt = np.linalg.svd(A, full_matrices=False)
-    s_inv2 = np.where(np.abs(s) > 1e-3, 1.0 / (s * s), 3.0)
+    keep = np.abs(s) > 1e-3
+    s_inv2 = np.where(keep, 1.0 / np.where(keep, s * s, 1.0), 3.0)
     expect = (vt.T * s_inv2[None, :]) @ vt
     np.testing.assert_allclose(cov, expect, atol=1e-4)
 
