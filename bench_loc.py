@@ -33,9 +33,20 @@ def main():
     from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
 
     sequential = os.environ.get("IRIS_LOC_BENCH_SEQ") == "1"
-    n_steps = 200
+    # Longer timed region (r4, VERDICT r3 #5): each rep replays the SAME
+    # proven 200-step log PASSES times (fresh driver per pass; programs
+    # are lru-cached) — ~3x the timed region of the r3 bench to ride out
+    # tunnel hiccups (r3 reps spanned 361-1217 up/s) at identical data
+    # and quality. Alternatives tried and REJECTED: 400 steps at half
+    # stride doubles relative odometry noise (33 mm); a laps=3 tiled
+    # 600-step trajectory measures 12 mm mean on BOTH backends even in
+    # lap 1 against a 1.1 mm-ATE map (recorded open oddity — the
+    # arclength-resampled tiled log is intrinsically harder).
+    laps = int(os.environ.get("IRIS_LOC_LAPS", "1"))
+    passes = int(os.environ.get("IRIS_LOC_PASSES", "3"))
+    n_steps = 200 * laps
     data = simulator.simulate(simulator.SimConfig(
-        n_steps=n_steps, seed=7,
+        n_steps=n_steps, seed=7, laps=laps,
         laser=simulator.LaserSpec(n_beams=720, max_range=10.0)))
 
     nb = beam_bucket(720)
@@ -46,12 +57,16 @@ def main():
         staged_slam.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
         staged_loc.append((jnp.asarray(p[:, :2]), jnp.asarray(m)))
 
-    # build the fixed map with slam2d (not timed)
+    # build the fixed map with slam2d (not timed) from lap 1 ONLY: the
+    # loop closes in 200 steps, so one lap covers the whole world at the
+    # r2/r3 map quality (a 3-lap build drifts ~1 cm by lap 3 — identical
+    # 0.0117 m mean on CPU and TPU — and that map drift, not tracking,
+    # then dominates the localization error metric)
     slam = Slam2D(Slam2DOptions(resolution=0.05, max_range=10.0,
                                 trans_thresh=0.2, rot_thresh=0.2,
                                 capacity=8192))
     slam.set_prior(Pose2D(*data.poses_gt[0]))
-    for k in range(n_steps):
+    for k in range(min(n_steps, 200)):
         slam.update_prepadded(*staged_slam[k], data.odometry[k],
                               data.timestamps[k])
     maps = maps_from_slam(slam.map, slam.cfg)
@@ -61,13 +76,14 @@ def main():
                         trans_thresh=0.1, rot_thresh=0.1)
     odoms = list(data.odometry)
 
-    def run_once(rep=0):
+    def one_pass(rep, p):
         """One full replay with a fresh driver; jitted programs are cached
         across instances (_make_loc_programs lru_cache). The prior is
-        perturbed per rep so no two reps replay value-identical dispatch
-        sequences (the tunnel serves identical dispatches from a cache)."""
+        perturbed per (rep, pass) so no two passes replay value-identical
+        dispatch sequences (the tunnel serves identical dispatches from a
+        cache)."""
         loc = Loc2D(opts, maps=maps)
-        loc.set_prior(Pose2D(data.poses_gt[0][0] + rep * 1e-4,
+        loc.set_prior(Pose2D(data.poses_gt[0][0] + (rep * 7 + p) * 1e-4,
                              data.poses_gt[0][1], data.poses_gt[0][2]))
         t0 = time.perf_counter()
         if sequential:
@@ -86,7 +102,16 @@ def main():
         est = loc.trajectory()[-len(accepted):]
         gt = np.asarray([data.poses_gt[k] for k in accepted])
         errs = np.linalg.norm(est[:, :2] - gt[:, :2], axis=1)
-        return len(accepted) / elapsed, float(np.mean(errs)), len(accepted)
+        return elapsed, float(np.sum(errs)), len(accepted)
+
+    def run_once(rep=0):
+        t_total = err_sum = n_total = 0
+        for p in range(passes):
+            elapsed, es, n = one_pass(rep, p)
+            t_total += elapsed
+            err_sum += es
+            n_total += n
+        return n_total / t_total, err_sum / n_total, n_total
 
     # 5 reps (r3, was 3): a ~0.2-0.5 s rep is exposed to single tunnel
     # hiccups (r3 spread 361-1217 up/s); a 400-step log was tried instead

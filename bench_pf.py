@@ -48,9 +48,22 @@ def main():
     # on PFSlam2DOptions (algos/pf_slam2d._make_programs), and options.seed
     # is part of it — a per-rep seed re-traces and re-loads every program
     # (seconds each on the remote runtime; measured 3.2 up/s vs 45+).
-    opts = PFSlam2DOptions(particles=30, resolution=0.05, max_range=10.0,
+    # IRIS_PF_PARTICLES=512 benchmarks the BASELINE #5 scale on the one
+    # chip (reference: pf_slam2d.cpp:254-302); memory at 512 particles is
+    # ~2.4 GB resident grids + ~4.3 GB pools — fits v5e HBM directly, no
+    # spill tier needed.
+    n_particles = int(os.environ.get("IRIS_PF_PARTICLES", "30"))
+    # 512-particle runs need right-sized pools: 512 x 2048-patch pools are
+    # 8.6 GB and the re-org's lineage settle peaks at 2x that (> HBM);
+    # the office world allocates ~300 patches/particle.
+    opts = PFSlam2DOptions(particles=n_particles, resolution=0.05,
+                           max_range=10.0,
                            trans_thresh=0.25, rot_thresh=0.25,
-                           capacity=2048, max_iter=50, seed=11)
+                           capacity=int(os.environ.get("IRIS_PF_CAPACITY",
+                                                       "2048")),
+                           max_iter=int(os.environ.get("IRIS_PF_MAX_ITER",
+                                                       "50")),
+                           seed=11)
 
     def run_once(rep=0):
         """Full log replay with a fresh filter. The prior is perturbed per
@@ -98,7 +111,7 @@ def main():
         "unit": "updates/s",
         "vs_baseline": round(ups / 2.0, 2),   # RPi-class PF ~2 Hz
         "extra": {
-            "particles": 30,
+            "particles": n_particles,
             "final_err_m": round(err, 4),
             "updates": n_updates,
             "path": "chunked" if chunked else "sequential",

@@ -117,8 +117,10 @@ class GraphSlam2D:
         # deferred key-pose machinery (see module docstring)
         self._scan_buf: dict = {}       # update index -> (pts, msk, org, t)
         self._k_synced = 0              # updates consumed by the key gate
+        self._k_harvested = 0           # updates whose key events landed
         self._since_sync = 0
         self._last_key_dev = None       # device register: last key raw pose
+        self._keyscan_pending: List[tuple] = []   # (dev packed, k_lo, take)
         # in-flight async verification batches + coarse retry queue
         self._pending: List[dict] = []
         self._coarse_jobs: List[tuple] = []
@@ -197,7 +199,7 @@ class GraphSlam2D:
                 t = timestamps[i + a] if timestamps is not None else 0.0
                 self._scan_buf[u0 + j] = sl[a] + (t,)
                 accepted.append(i + a)
-            self._sync()
+            self._sync(keys_now=True)
         return accepted
 
     def _timed(self, name):
@@ -215,22 +217,27 @@ class GraphSlam2D:
         return cm()
 
     # -- deferred key-pose sync ---------------------------------------------
-    def _sync(self, drain: bool = False) -> None:
-        """One sync round: harvest last round's verification results
-        (their device compute overlapped the front-end slice — the pull now
-        costs one round trip), replay the key-pose gate over new trajectory
-        entries, create the fired key poses, dispatch their loop-closure
-        verification batch (async), and optimize when thresholds are met.
-        ``drain=True`` additionally blocks until every in-flight
-        verification is resolved (public reads / optimize entry points)."""
+    def _sync(self, drain: bool = False, keys_now: bool = False) -> None:
+        """One sync round: harvest last round's verification results AND
+        key-gate replays (both dispatched a round ago with async d2h
+        copies — their device compute and transfers overlapped the
+        front-end slice, so neither pull stalls), create the fired key
+        poses, dispatch their loop-closure verification batch (async),
+        dispatch this round's key-gate replay (async), and optimize when
+        thresholds are met. A steady-state live sync therefore costs ZERO
+        blocking round trips. ``drain=True`` additionally blocks until
+        every in-flight key scan and verification is resolved (public
+        reads / optimize entry points)."""
         self._since_sync = 0
         if self._jit_key_scan is None:
             self._build_kernels()
         with self._timed("process_pending"):
             self._process_pending()
+        # 1. harvest key scans dispatched at the PREVIOUS sync
+        new_queries = self._harvest_keyscans()
+        # 2. dispatch this window's key-gate replay (async copy, no pull)
         n_new = self.slam._n_updates - self._k_synced
         if n_new > 0:
-            new_queries = []
             if self._last_key_dev is None:
                 # key pose 0: the first update's matched pose IS the prior
                 # (graph_slam2d.cpp:196-198 first-key special case)
@@ -245,19 +252,21 @@ class GraphSlam2D:
                     packed, self._last_key_dev = self._jit_key_scan(
                         self.slam._traj, jnp.int32(self._k_synced),
                         jnp.int32(take), self._last_key_dev)
-                    data = np.asarray(packed)   # ONE device->host pull
-                for row in data[:int(data[-1, 0])]:
-                    q = self._create_key(int(row[0]),
-                                         Pose2D.from_se2_array(row[1:5]))
-                    if q is not None:
-                        new_queries.append(q)
+                    if hasattr(packed, "copy_to_host_async"):
+                        packed.copy_to_host_async()
+                self._keyscan_pending.append((packed, self._k_synced, take))
                 self._k_synced += take
                 n_new -= take
-            self._scan_buf = {k: v for k, v in self._scan_buf.items()
-                              if k >= self._k_synced}
-            if new_queries:
-                with self._timed("close_loops"):
-                    self._dispatch_verification(new_queries)
+        if drain or keys_now:
+            # chunked replay: a pipelined harvest would delay key poses by
+            # a WHOLE sync_scans slice — the transient front-end map moves
+            # on and loop verification degrades to the coarse fallback
+            # (measured: 11 -> 3 accepted loops). One blocking pull per
+            # 32-scan slice is cheap; only the live path pipelines.
+            new_queries += self._harvest_keyscans()
+        if new_queries:
+            with self._timed("close_loops"):
+                self._dispatch_verification(new_queries)
         if drain:
             with self._timed("process_pending"):
                 self._process_pending(drain=True)
@@ -266,6 +275,25 @@ class GraphSlam2D:
                                        self.factordist > 15.0):
             with self._timed("optimize"):
                 self._optimize()
+
+    def _harvest_keyscans(self) -> list:
+        """Pull every in-flight key-gate replay (dispatched a sync ago —
+        async copies are done) and create its fired key poses. Returns
+        the query ids due for loop-closure verification."""
+        new_queries = []
+        while self._keyscan_pending:
+            packed, k_lo, take = self._keyscan_pending.pop(0)
+            with self._timed("key_scan"):
+                data = np.asarray(packed)
+            for row in data[:int(data[-1, 0])]:
+                q = self._create_key(int(row[0]),
+                                     Pose2D.from_se2_array(row[1:5]))
+                if q is not None:
+                    new_queries.append(q)
+            self._k_harvested = k_lo + take
+            self._scan_buf = {k: v for k, v in self._scan_buf.items()
+                              if k >= self._k_harvested}
+        return new_queries
 
     def _create_key(self, k_idx: int, raw: Pose2D) -> Optional[int]:
         """Create a key pose for accepted update ``k_idx`` (matched pose
@@ -332,6 +360,8 @@ class GraphSlam2D:
                 jnp.asarray(cand_poses, jnp.float32),
                 jnp.asarray(hypos, jnp.float32),
                 jnp.asarray(pts), jnp.asarray(msks))   # ASYNC — no pull
+            if hasattr(packed_dev, "copy_to_host_async"):
+                packed_dev.copy_to_host_async()
             self._pending.append({"kind": "verify", "dev": packed_dev,
                                   "rows": chunk})
 
@@ -407,6 +437,8 @@ class GraphSlam2D:
                 jnp.asarray(ref_pts), jnp.asarray(ref_msks),
                 jnp.asarray(cand_poses, jnp.float32), jnp.asarray(pts),
                 jnp.asarray(msks))                   # ASYNC — no pull
+            if hasattr(packed_dev, "copy_to_host_async"):
+                packed_dev.copy_to_host_async()
             self._pending.append({"kind": "coarse", "dev": packed_dev,
                                   "jobs": chunk})
 

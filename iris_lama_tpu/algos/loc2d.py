@@ -501,8 +501,12 @@ def _make_loc_programs(opts: Loc2DOptions):
             return carry, carry[0]
 
         carry0 = (pose, win, org, cov, rmse)
+        # IRIS_LOC_UNROLL=k unrolls the scan body (k=chunk -> straight
+        # line) for the VERDICT-r3 unroll A/B; measured numbers live in
+        # docs/STATUS.md (r4).
         (pose, win, org, cov, rmse), poses = jax.lax.scan(
-            body, carry0, (odeltas, ptss, msks, dos))
+            body, carry0, (odeltas, ptss, msks, dos),
+            unroll=int(_os.environ.get("IRIS_LOC_UNROLL", "1")))
         k0 = jnp.minimum(k0, traj.shape[0] - poses.shape[0])
         traj = jax.lax.dynamic_update_slice(traj, poses,
                                             (k0, jnp.int32(0)))

@@ -33,7 +33,7 @@ from ..core.pose import Pose2D
 from ..match import match_surface_2d as match
 from ..nlls.robust import CAUCHY_SCAN
 from ..nlls.solver import SolverOptions
-from ..ops import gn_solve
+from ..ops import gn_batch, gn_solve
 from ..sdm import mapping, window as win_mod
 from ..sdm.geometry import MapGeometry
 from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
@@ -44,6 +44,7 @@ from ..utils.summary import Summary
 _DEBUG_NO_MATCH = bool(int(os.environ.get("IRIS_DEBUG_NO_MATCH", "0")))
 _DEBUG_NO_LINEAGE = bool(int(os.environ.get("IRIS_DEBUG_NO_LINEAGE", "0")))
 _DEBUG_NO_REORG = bool(int(os.environ.get("IRIS_DEBUG_NO_REORG", "0")))
+_DEBUG_NO_MAP = bool(int(os.environ.get("IRIS_DEBUG_NO_MAP", "0")))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -368,15 +369,19 @@ def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
             # and pose dependency, skip the IRLS solve (wrong results).
             res_state = pose0 + 1e-7 * jnp.sum(dist_i[:2, :4])
             res_iters = jnp.int32(0)
-        elif (gn_solve.ENABLED and dist_i.dtype == jnp.int8
+        elif ((gn_batch.ENABLED or gn_solve.ENABLED)
+              and dist_i.dtype == jnp.int8
               and jax.default_backend() == "tpu"):
-            # whole-solve kernel path: likelihood SSE comes out of the
-            # same launch (-sse/sigma differs from the per-beam division
-            # below only in reduction order; CPU paths keep the old math
-            # bit-exactly for the resident-vs-pool oracle tests)
+            # whole-solve kernel paths (batched ops/gn_batch.py — one
+            # launch for all particles — or per-particle ops/gn_solve.py):
+            # likelihood SSE comes out of the same launch (-sse/sigma
+            # differs from the per-beam division below only in reduction
+            # order; CPU paths keep the old math bit-exactly for the
+            # resident-vs-pool oracle tests)
             res, sse = match.solve_window_lik(dist_i, m_org, geo, max_dist,
                                               points[:, :2], mask, pose0,
-                                              sopts)
+                                              sopts,
+                                              batch_hint=opts.particles)
             return res.state, -sse / opts.meas_sigma, res.iterations
         else:
             res = match.solve_window(dist_i, m_org, geo, max_dist,
@@ -419,6 +424,12 @@ def _pf_map_phase(opts: PFSlam2DOptions, org, occ, vis, dist, pose,
                   points, mask, origin):
     """Phase 5: per-particle map update — elementwise on resident grids."""
     cfg = opts.mapping_config()
+
+    if _DEBUG_NO_MAP:
+        # Stage-cost stand-in: keep the data dependencies, skip the
+        # deposit/EDT (wrong results — frozen first-scan maps).
+        bump = (pose[:, 0] * 0).astype(vis.dtype) + mask[0].astype(vis.dtype)
+        return occ, vis + bump[:, None, None], dist
 
     def upd(o, v, d, p):
         o2, v2, d2, _ = mapping.resident_update(cfg, org, o, v, d, p,

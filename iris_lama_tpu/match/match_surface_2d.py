@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
-from ..ops import gn_solve, match_eval
+from ..ops import gn_batch, gn_solve, match_eval
 from ..sdm import distance as dist_mod
 from ..sdm.geometry import MapGeometry
 from ..nlls import solver as nlls_solver
@@ -179,13 +179,33 @@ def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
 
 
 def solve_window_lik(grid, org_cell, geo, max_dist, points_xy, mask,
-                     state0, opts):
+                     state0, opts, batch_hint: int = 1):
     """solve_window + the unweighted masked residual SSE at the final
     state (PFSlam2D's likelihood input, pf_slam2d.cpp:393-414).
 
-    On the whole-solve kernel path the SSE comes out of the same launch
-    (ops/gn_solve.py want_lik) — no separate interpolation pass.
+    On the whole-solve kernel paths the SSE comes out of the same launch
+    (ops/gn_batch.py / ops/gn_solve.py want_lik) — no separate
+    interpolation pass. ``batch_hint``: the caller's vmap batch size
+    (particle count); >1 selects the batched whole-solve kernel when the
+    batch's grids fit VMEM (ops/gn_batch.py).
     """
+    if (opts.strategy == "gn" and grid.dtype == jnp.int8
+            and opts.robust.kind in ("cauchy", "unit")
+            and gn_batch.ENABLED and batch_hint > 1
+            and batch_hint * grid.shape[-1] * grid.shape[-2]
+            <= gn_batch.MAX_GRID_BYTES
+            and jax.default_backend() == "tpu"):
+        cauchy_c = (opts.robust.param if opts.robust.kind == "cauchy"
+                    else 0.0)
+        st, it, chi2, sum_d2 = gn_batch.solve_window_sq(
+            grid, jnp.asarray(org_cell, jnp.int32), state0,
+            points_xy, mask, max_dist=max_dist, res=geo.resolution,
+            scale=geo.scale, cell_offset=geo.cell_offset,
+            cauchy_c=cauchy_c, eps1=opts.eps1, eps2=opts.eps2,
+            max_iter=opts.max_iterations, want_lik=True)
+        zero = jnp.float32(0)
+        return nlls_solver.SolveResult(state=st, iterations=it, chi2=chi2,
+                                       r=zero, J=zero), sum_d2
     if (opts.strategy == "gn" and grid.dtype == jnp.int8
             and opts.robust.kind in ("cauchy", "unit")
             and gn_solve.ENABLED and jax.default_backend() == "tpu"):

@@ -140,12 +140,17 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
     def cond(c: Carry):
         return jnp.logical_and(~c.stop, c.it < opts.max_iterations)
 
+    # normal equations at pinned precision: the TPU default truncates f32
+    # matmul inputs to bf16 — noisy J'J / J'r mean noisy GN steps and
+    # misfired eps1 stops (see distance.interp_window note; r4)
+    _hp = jax.lax.Precision.HIGHEST
+
     def body(c: Carry):
         # 3. strategy step from the carried evaluation
         #    (gauss_newton.cpp:53-73 / levenberg_marquardt.cpp:57-103)
-        g = c.J.T @ c.r
+        g = jnp.matmul(c.J.T, c.r, precision=_hp)
         stop_g = jnp.max(jnp.abs(g)) < opts.eps1
-        A = c.J.T @ c.J
+        A = jnp.matmul(c.J.T, c.J, precision=_hp)
         if is_lm:
             diag_max = jnp.max(jnp.diag(A))
             mu = jnp.where(c.mu < 0, opts.tau * diag_max, c.mu)
@@ -225,7 +230,7 @@ def covariance_from_eval(r, J, robust: RobustCost):
     """
     w = jnp.sqrt(robust.weight(r))
     J = J * w[:, None]
-    A = J.T @ J
+    A = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
 
     inv = jnp.linalg.inv(A)
 

@@ -1,0 +1,313 @@
+"""Batched whole-solve GN IRLS kernel: ONE Pallas launch for ALL
+particles' scan-match solves, every grid VMEM-resident for the whole
+IRLS loop.
+
+Why this shape (third attempt at the PF match wall, after ops/match_eval
+and ops/gn_solve): the default XLA path runs a vmapped while_loop whose
+every trip launches the select4 kernel (30 sequential program instances,
+each re-DMAing its grid) plus ~10 small fused kernels — the per-trip
+fixed cost times the WORST lane's iteration count is ~8 of the ~11 ms PF
+update (docs/STATUS.md r3). ops/gn_solve moved the loop inside the
+kernel but kept grid=(P,): each particle's iterations serialize with
+full per-iteration latency, so sum-of-latencies ties the XLA path.
+
+This kernel inverts the nesting: grid=(1,), the iteration loop is outer
+and the (unrolled) particle loop is inner. Per iteration the P
+independent one-hot/matmul/reduction sections pipeline back-to-back on
+the MXU/VPU with no program-change or launch overhead, every grid loaded
+from HBM exactly once per SOLVE, and per-particle `pl.when` guards give
+sum-of-iterations cost (converged lanes skip their eval entirely).
+Scalar IRLS bookkeeping lives in SMEM scratch, advanced by the scalar
+core while the vector core chews the next particle's evaluation.
+
+Exact formula parity: corner selection and the residual/Jacobian/robust
+algebra reuse ops/match_eval's `_corners`/`_eval_math`, the scalar
+step/stop/revert logic mirrors ops/gn_solve._kernel statement for
+statement (solver.cpp:53-118 / gauss_newton.cpp:53-91 semantics).
+Reduction association is Mosaic-scheduled, so sums can differ from the
+XLA path in the last ulp; the CPU jnp path stays the oracle.
+
+VMEM budget (PF bench shape, P=30, match window 432, 768 beams): grids
+30 x 448 x 512 s8 = 6.9 MB + one [2B, W] i32 eval transient ~3.1 MB +
+one-hot ~0.7 MB — ~11 MB of the ~16 MB/core. P x W x W bytes must stay
+under ~12 MB; callers with bigger pools keep the XLA path.
+
+Measured numbers live in docs/STATUS.md (r4). IRIS_GN_BATCH=0 restores
+the XLA while_loop path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+from . import match_eval
+from .gn_solve import _sin_cos, _exp_compose, _solve3_scalar
+
+# default ON (measured ~2x at PF); IRIS_GN_BATCH=0 to fall back
+ENABLED = bool(int(os.environ.get("IRIS_GN_BATCH", "1")))
+
+N_ROWS = 8   # tx ty cos sin chi2 iters sum_d2 pad
+_LANES = 128
+
+# VMEM guard: P * W * H bytes of s8 grids + ~4 MB of eval transients must
+# fit in ~16 MB/core; above this the caller keeps the XLA path.
+MAX_GRID_BYTES = 12 * 1024 * 1024
+
+
+def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
+            st_s, sums_s, stop_s, it_s, nact_s, *,
+            max_dist, res, scale, cell_offset, cauchy_c, eps1, eps2,
+            max_iter, want_lik):
+    from jax.experimental import pallas as pl
+
+    p_n = g_ref.shape[0]
+    h = g_ref.shape[-2]
+    w = g_ref.shape[-1]
+    px = px_ref[0]
+    py = py_ref[0]
+    fm = fm_ref[0]
+    scl = jnp.float32(scale)
+    off = jnp.int32(cell_offset)
+
+    # particle loops are lax.fori_loop (dynamic ref indexing), NOT Python
+    # unrolls: a 30x-unrolled body with nested conds blew Mosaic's compile
+    # time past 9 minutes; the rolled form compiles in normal time.
+    def sums_at(p, tx, ty, c, s, cc):
+        # lie.se2_apply + geometry.w2m_frac (floor + integer offset)
+        hx = tx + c * px - s * py
+        hy = ty + s * px + c * py
+        mfx = hx * scl
+        mfy = hy * scl
+        flx = jnp.floor(mfx)
+        fly = jnp.floor(mfy)
+        lx = flx.astype(jnp.int32) + off - org_ref[p, 0]
+        ly = fly.astype(jnp.int32) + off - org_ref[p, 1]
+        mux = mfx - flx
+        muy = mfy - fly
+        g = g_ref[pl.dslice(p, 1)][0]
+        v00, v10, v01, v11 = match_eval._corners(ly, lx, g, h, w)
+        return match_eval._eval_math(ly, lx, v00, v10, v01, v11, mux, muy,
+                                     hx, hy, fm, h, w, max_dist, res,
+                                     scale, cc)
+
+    # ---- init: evaluate every particle at its start state -------------
+    def init_one(p, carry):
+        st_s[0, p] = st0_ref[p, 0]
+        st_s[1, p] = st0_ref[p, 1]
+        st_s[2, p] = st0_ref[p, 2]
+        st_s[3, p] = st0_ref[p, 3]
+        stop_s[0, p] = jnp.int32(0)
+        it_s[0, p] = jnp.int32(0)
+        s0 = sums_at(p, st0_ref[p, 0], st0_ref[p, 1], st0_ref[p, 2],
+                     st0_ref[p, 3], cauchy_c)
+        for i in range(10):
+            sums_s[i, p] = s0[i]
+        return carry
+
+    jax.lax.fori_loop(0, p_n, init_one, jnp.int32(0))
+    nact_s[0, 0] = jnp.int32(p_n)
+
+    # ---- IRLS: fixed trips, all-stopped trips cost one SMEM read ------
+    def particle_step(p, carry):
+        @pl.when(stop_s[0, p] == 0)
+        def _():
+            tx = st_s[0, p]
+            ty = st_s[1, p]
+            c = st_s[2, p]
+            s = st_s[3, p]
+            sm = [sums_s[i, p] for i in range(10)]
+            chi2 = sm[9]
+            g_max = jnp.maximum(
+                jnp.maximum(jnp.abs(sm[6]), jnp.abs(sm[7])),
+                jnp.abs(sm[8]))
+            stop_g = g_max < eps1
+            h0, h1, h2 = _solve3_scalar(sm[0], sm[1], sm[2], sm[3],
+                                        sm[4], sm[5], sm[6], sm[7],
+                                        sm[8])
+            zero = jnp.float32(0)
+            h0 = jnp.where(stop_g, zero, h0)
+            h1 = jnp.where(stop_g, zero, h1)
+            h2 = jnp.where(stop_g, zero, h2)
+            h_max = jnp.maximum(jnp.maximum(jnp.abs(h0), jnp.abs(h1)),
+                                jnp.abs(h2))
+            stop_now = jnp.logical_or(stop_g, h_max < eps2)
+
+            @pl.when(stop_now)
+            def _():
+                # converged before the step: freeze, no it++
+                stop_s[0, p] = jnp.int32(1)
+                nact_s[0, 0] = nact_s[0, 0] - 1
+
+            @pl.when(jnp.logical_not(stop_now))
+            def _():
+                ntx, nty, nc, ns_ = _exp_compose(h0, h1, h2,
+                                                 tx, ty, c, s)
+                nsm = sums_at(p, ntx, nty, nc, ns_, cauchy_c)
+                ok = (chi2 - nsm[9]) > 0.0
+                st_s[0, p] = jnp.where(ok, ntx, tx)
+                st_s[1, p] = jnp.where(ok, nty, ty)
+                st_s[2, p] = jnp.where(ok, nc, c)
+                st_s[3, p] = jnp.where(ok, ns_, s)
+                for i in range(10):
+                    sums_s[i, p] = jnp.where(ok, nsm[i], sm[i])
+                it_s[0, p] = it_s[0, p] + 1
+
+                @pl.when(jnp.logical_not(ok))
+                def _():
+                    # GN: invalid step => revert + stop
+                    stop_s[0, p] = jnp.int32(1)
+                    nact_s[0, 0] = nact_s[0, 0] - 1
+        return carry
+
+    # two independent particles per inner trip: their eval chains have no
+    # data dependence, so Mosaic can overlap one particle's one-hot/VPU
+    # work with the other's MXU corner dot (a single-particle body is a
+    # serial matmul->reduce->scalar chain that leaves units idle)
+    half = (p_n + 1) // 2
+
+    def particle_pair(i, carry):
+        particle_step(i, carry)
+
+        @pl.when(i + half < p_n)
+        def _():
+            particle_step(i + half, carry)
+        return carry
+
+    def trip(_, carry):
+        @pl.when(nact_s[0, 0] > 0)
+        def _():
+            jax.lax.fori_loop(0, half, particle_pair, jnp.int32(0))
+        return carry
+
+    jax.lax.fori_loop(0, max_iter, trip, jnp.int32(0))
+
+    # ---- outputs (+ optional likelihood eval at the final state) ------
+    def emit_one(p, carry):
+        tx = st_s[0, p]
+        ty = st_s[1, p]
+        c = st_s[2, p]
+        s = st_s[3, p]
+        out_ref[0, p] = tx
+        out_ref[1, p] = ty
+        out_ref[2, p] = c
+        out_ref[3, p] = s
+        out_ref[4, p] = sums_s[9, p]
+        out_ref[5, p] = it_s[0, p].astype(jnp.float32)
+        if want_lik:
+            # unweighted masked sum d^2 at the final state (cauchy_c=0
+            # makes _eval_math's s9 exactly sum((d*fm)^2))
+            out_ref[6, p] = sums_at(p, tx, ty, c, s, 0.0)[9]
+        else:
+            out_ref[6, p] = jnp.float32(0)
+        out_ref[7, p] = jnp.float32(0)
+        return carry
+
+    jax.lax.fori_loop(0, p_n, emit_one, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=tuple(range(6, 16)))
+def _solve_batched(grid, org, st0, px, py, fm,
+                   max_dist: float, res: float, scale: float,
+                   cell_offset: int, cauchy_c: float, eps1: float,
+                   eps2: float, max_iter: int, want_lik: bool,
+                   interpret: bool = False):
+    """grid s8[P, H, W], org i32[P, 2], st0 f32[P, 4], px/py/fm f32[B]
+    (shared across particles) -> f32[N_ROWS, P] result rows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, h, w = grid.shape
+    b = px.shape[-1]
+    bk = (b + _LANES - 1) // _LANES * _LANES
+    if bk != b:
+        zf = jnp.zeros((bk - b,), jnp.float32)
+        px = jnp.concatenate([px, zf])
+        py = jnp.concatenate([py, zf])
+        fm = jnp.concatenate([fm, zf])
+    px, py, fm = px[None, :], py[None, :], fm[None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, max_dist=max_dist, res=res, scale=scale,
+                          cell_offset=cell_offset, cauchy_c=cauchy_c,
+                          eps1=eps1, eps2=eps2, max_iter=max_iter,
+                          want_lik=want_lik),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # org
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # st0
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # px
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # py
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # fm
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # grids
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((N_ROWS, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((4, p), jnp.float32),    # state
+            pltpu.SMEM((10, p), jnp.float32),   # sums
+            pltpu.SMEM((1, p), jnp.int32),      # stop
+            pltpu.SMEM((1, p), jnp.int32),      # iterations
+            pltpu.SMEM((1, 1), jnp.int32),      # n active
+        ],
+        interpret=interpret,
+    )(org, st0, px, py, fm, grid)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make(max_dist: float, res: float, scale: float, cell_offset: int,
+          cauchy_c: float, eps1: float, eps2: float, max_iter: int,
+          want_lik: bool, impl: str):
+    interpret = impl == "interpret"
+    statics = (max_dist, res, scale, cell_offset, cauchy_c, eps1, eps2,
+               max_iter, want_lik, interpret)
+
+    @jax.custom_batching.custom_vmap
+    def ev(grid, org, st0, px, py, fm):
+        return _solve_batched(grid[None], org[None], st0[None], px, py, fm,
+                              *statics)[:, 0]
+
+    @ev.def_vmap
+    def _batch_rule(axis_size, in_batched, grid, org, st0, px, py, fm):
+        gb, ob, sb, pxb, pyb, fb = in_batched
+        if pxb or pyb or fb:
+            raise NotImplementedError(
+                "gn_batch requires shared scan points across the batch")
+
+        def bc(a, ab):
+            return a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
+
+        grid, org, st0 = bc(grid, gb), bc(org, ob), bc(st0, sb)
+        rows = _solve_batched(grid, org, st0, px, py, fm, *statics)
+        return rows.T, True   # [P, N_ROWS]
+
+    return ev
+
+
+def solve_window_sq(grid, org_cell, state0, points_xy, mask, *,
+                    max_dist, res, scale, cell_offset, cauchy_c,
+                    eps1, eps2, max_iter, want_lik=False,
+                    impl: str | None = None):
+    """Full GN IRLS scan-match on an s8 squared-distance window, batched
+    as ONE kernel launch across a vmapped particle axis.
+
+    Same contract as ops/gn_solve.solve_window_sq: returns (state f32[4],
+    iterations i32, chi2 f32, sum_d2 f32); vmap-aware over (grid,
+    org_cell, state0) with scan points shared across the batch.
+    """
+    if impl is None:
+        impl = "mxu" if jax.default_backend() == "tpu" else "interpret"
+    fm = mask.astype(jnp.float32)
+    rows = _make(float(max_dist), float(res), float(scale),
+                 int(cell_offset), float(cauchy_c), float(eps1),
+                 float(eps2), int(max_iter), bool(want_lik),
+                 impl)(grid, org_cell, state0, points_xy[..., 0],
+                       points_xy[..., 1], fm)
+    state = rows[..., 0:4] if rows.ndim == 2 else rows[0:4]
+    if rows.ndim == 2:
+        return (state, rows[..., 5].astype(jnp.int32), rows[..., 4],
+                rows[..., 6])
+    return (state, rows[5].astype(jnp.int32), rows[4], rows[6])

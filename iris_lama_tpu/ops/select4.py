@@ -104,10 +104,13 @@ def _select_jnp(grid, ly, lx):
     rows = jnp.arange(h, dtype=jnp.int32)
     oh0 = (jnp.clip(ly, 0, h - 1)[:, None] == rows).astype(oh_dtype)
     oh1 = (jnp.clip(ly + 1, 0, h - 1)[:, None] == rows).astype(oh_dtype)
+    # pinned precision: the TPU default truncates f32 matmul inputs to
+    # bf16, breaking the exact-selection contract (see distance.py note)
+    hp = jax.lax.Precision.HIGHEST
     r0 = jax.lax.dot_general(oh0, g, (((1,), (0,)), ((), ())),
-                             preferred_element_type=acc)
+                             preferred_element_type=acc, precision=hp)
     r1 = jax.lax.dot_general(oh1, g, (((1,), (0,)), ((), ())),
-                             preferred_element_type=acc)
+                             preferred_element_type=acc, precision=hp)
     cols = jnp.arange(w, dtype=jnp.int32)
     m0 = jnp.clip(lx, 0, w - 1)[:, None] == cols
     m1 = jnp.clip(lx + 1, 0, w - 1)[:, None] == cols

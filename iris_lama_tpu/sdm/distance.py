@@ -201,11 +201,19 @@ def interp_window(grid, org_cell, geo: MapGeometry, world_xy, max_dist):
     cols = jnp.arange(w, dtype=jnp.int32)
     oh0 = (jnp.clip(ly, 0, h - 1)[..., None] == rows).astype(grid.dtype)
     oh1 = (jnp.clip(ly + 1, 0, h - 1)[..., None] == rows).astype(grid.dtype)
-    # rows via MXU (exact: one-hot selection, f32 accumulation)
+    # rows via MXU. Precision MUST be pinned: TPU's default f32 matmul
+    # truncates the INPUTS to bf16, so selected distances lose mantissa
+    # and the matcher's gradients (differences of adjacent corners) get
+    # percent-level noise — measured as LidarOdometry2D losing lock at the
+    # first corner of the office world (13-19 m/100m drift vs 0.8 on CPU,
+    # r4). HIGHEST keeps the one-hot selection bit-exact.
+    hp = jax.lax.Precision.HIGHEST
     r0 = jax.lax.dot_general(oh0, grid, (((oh0.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=hp)
     r1 = jax.lax.dot_general(oh1, grid, (((oh1.ndim - 1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=hp)
     c0 = (jnp.clip(lx, 0, w - 1)[..., None] == cols).astype(jnp.float32)
     c1 = (jnp.clip(lx + 1, 0, w - 1)[..., None] == cols).astype(jnp.float32)
     md = jnp.float32(max_dist)

@@ -121,17 +121,55 @@ def _select_rows_2level(arr2d, idx, m1: int = 256):
 _MM_LOOKUP_MAX = 0
 
 
+# Batch size at which lookups switch from probe gathers to the dense
+# equality scan. XLA's per-element gather runs ~0.14 us/probe SERIALIZED
+# (fine for a handful of keys, 39 ms for a 30-particle window lookup —
+# measured r4, prof_r4_reorg/prof_r4_gather: the "49 ms resident_gather"
+# was ~80% table probes); the dense scan is lane-parallel VPU work that
+# XLA fuses into one streaming reduction (~0.7 ms at the same shape).
+import os as _os
+
+_SCAN_LOOKUP_MIN = int(_os.environ.get("IRIS_SCAN_LOOKUP_MIN", "8"))
+
+
 def table_lookup(table: PatchTable, keys):
     """Vectorized lookup. keys int32[...] -> slots int32[...] (-1 = missing).
 
-    Probes PROBE_WINDOW consecutive entries at once; an EMPTY entry before a
-    match means the key is absent (tombstones do not stop the probe). For
-    small query batches the probe rides the MXU (see _select_rows_2level);
-    large batches fall back to plain gathers.
+    Large batches use a dense equality scan over the whole key table: the
+    table holds at most one live entry per key (inserts check existence
+    first), so ``max(where(keys_equal, slot, -1))`` IS the open-addressing
+    lookup — without the serialized probe gathers. Small batches keep the
+    PROBE_WINDOW probe (an EMPTY entry before a match means absent;
+    tombstones do not stop the probe).
     """
     hsize = table.table_size
     shape = keys.shape
     flat = keys.reshape(-1)
+
+    # the [N, H] compare must stay fusion-sized: a TSDF insert looks up
+    # ~1e5 ray-sample keys, and N*H in the hundreds of millions made
+    # XLA's CPU constant-folder attempt a >100 GB buffer (r4 segfault);
+    # big-N lookups keep the probe path, whose cost is O(N), not O(N*H)
+    if _SCAN_LOOKUP_MIN <= flat.shape[0] and \
+            flat.shape[0] * hsize <= 32 * 1024 * 1024:
+        # at most one live entry per key -> the slot SUM over matches is
+        # the lookup; ride the MXU as two s8 byte-plane dots of slot+1
+        # (no match -> 0 -> -1 after the shift; sign-extension undone by
+        # the & 0xFF). The where+max formulation materialized the [N, H]
+        # select in i32 — 4x the traffic of the i8 equality matrix.
+        eq8 = (flat[:, None] == table.keys[None, :]).astype(jnp.int8)
+        sp1 = (table.slots + 1).astype(jnp.int32)
+        n_planes = 2 if table.capacity < 0xFFFF else 3
+        pl_ = jnp.stack([(sp1 >> (8 * i)) & 0xFF
+                         for i in range(n_planes)],
+                        axis=1).astype(jnp.int8)              # [H, planes]
+        r = jax.lax.dot_general(eq8, pl_, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        slots = (r[:, 0] & 0xFF) | ((r[:, 1] & 0xFF) << 8)
+        if n_planes == 3:
+            slots = slots | ((r[:, 2] & 0xFF) << 16)
+        return slots.reshape(shape) - 1
+
     base = _hash(flat, hsize)
     offs = jnp.arange(PROBE_WINDOW, dtype=jnp.int32)
 

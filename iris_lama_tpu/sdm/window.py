@@ -16,10 +16,74 @@ patch-block tensors are [py, px, ly, lx].
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from .geometry import MapGeometry, PKEY_BITS
 from . import pool as pool_mod
+
+# Patch-block gathers ride the MXU on TPU (byte-plane one-hot matmuls,
+# bit-exact for every dtype): XLA's row-gather lowering SERIALIZES at
+# ~0.4-0.7 us per patch block — 52.6 ms on-device for a 30-particle
+# resident-window gather vs 8.2 ms for the matmul (r4, prof_r4_gather3,
+# jax.profiler device times). IRIS_WINDOW_GATHER_MXU=0 restores row
+# gathers everywhere (the CPU/oracle path never changes).
+_GATHER_MXU = os.environ.get("IRIS_WINDOW_GATHER_MXU", "1") != "0"
+
+
+def _plane_split(raw):
+    """Split an integer array into s8 byte planes (little-endian)."""
+    if raw.dtype in (jnp.int8, jnp.uint8):
+        return [raw.astype(jnp.int8)], raw.dtype
+    if raw.dtype in (jnp.uint16, jnp.int16):
+        u = raw.astype(jnp.uint16)
+        return [(u & 0xFF).astype(jnp.int8),
+                (u >> 8).astype(jnp.int8)], raw.dtype
+    if raw.dtype == jnp.float32:
+        u = jax.lax.bitcast_convert_type(raw, jnp.uint32)
+        return [((u >> (8 * i)) & 0xFF).astype(jnp.int8)
+                for i in range(4)], raw.dtype
+    if raw.dtype in (jnp.int32, jnp.uint32):
+        u = raw.astype(jnp.uint32)
+        return [((u >> (8 * i)) & 0xFF).astype(jnp.int8)
+                for i in range(4)], raw.dtype
+    raise NotImplementedError(f"byte planes for {raw.dtype}")
+
+
+def _plane_join(planes_i32, dtype):
+    """Reassemble matmul plane outputs (i32, sign-extended bytes)."""
+    if dtype == jnp.int8:
+        return planes_i32[0].astype(jnp.int8)
+    if dtype == jnp.uint8:
+        return (planes_i32[0] & 0xFF).astype(jnp.uint8)
+    acc = jnp.zeros(planes_i32[0].shape, jnp.uint32)
+    for i, p in enumerate(planes_i32):
+        acc = acc | ((p.astype(jnp.uint32) & 0xFF) << (8 * i))
+    if dtype in (jnp.uint16, jnp.int16):
+        return acc.astype(dtype)
+    if dtype == jnp.float32:
+        return jax.lax.bitcast_convert_type(acc, jnp.float32)
+    return acc.astype(dtype)
+
+
+def _gather_rows_mxu(arr2, slots_flat, default):
+    """arr2 [CAP, K] -> [N, K] rows via one-hot s8 matmuls, bit-exact.
+
+    Missing slots (< 0) match no one-hot column (all-zero row) and are
+    filled with ``default`` — the trash row is never touched.
+    """
+    cap = arr2.shape[0]
+    oh = (slots_flat[:, None] ==
+          jnp.arange(cap, dtype=jnp.int32)[None, :]).astype(jnp.int8)
+    planes, dtype = _plane_split(arr2)
+    outs = [jax.lax.dot_general(oh, p, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            for p in planes]
+    sel = _plane_join(outs, dtype)
+    return jnp.where((slots_flat >= 0)[:, None], sel,
+                     jnp.asarray(default, arr2.dtype))
 
 
 def window_org(geo: MapGeometry, center_cell, wp: int):
@@ -57,10 +121,15 @@ def gather_window(table, arr, keys, default, slots=None):
     length = arr.shape[-1]
     if slots is None:
         slots = pool_mod.table_lookup(table, keys)         # [wp, wp]
-    safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
-    blocks = arr[safe].reshape(wp, wp, length, length)
-    blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
-                       jnp.asarray(default, arr.dtype))
+    if _GATHER_MXU and jax.default_backend() == "tpu":
+        rows = _gather_rows_mxu(arr.reshape(arr.shape[0], -1),
+                                slots.reshape(-1), default)
+        blocks = rows.reshape(wp, wp, length, length)
+    else:
+        safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
+        blocks = arr[safe].reshape(wp, wp, length, length)
+        blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
+                           jnp.asarray(default, arr.dtype))
     return blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length), \
         slots
 

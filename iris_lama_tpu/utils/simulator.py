@@ -53,6 +53,23 @@ def office_world(seed: int = 0) -> np.ndarray:
     return np.asarray(segs, np.float64)
 
 
+def _chaikin(waypoints: np.ndarray, iters: int) -> np.ndarray:
+    """Chaikin corner cutting: each iteration replaces every interior
+    corner with two points at 1/4 and 3/4 of the adjoining segments —
+    bounds the heading rate of the resampled trajectory (a raw polyline
+    turns 90 degrees in a single step, which no odometry-free tracker can
+    follow)."""
+    pts = waypoints
+    for _ in range(iters):
+        q = 0.75 * pts[:-1] + 0.25 * pts[1:]
+        r = 0.25 * pts[:-1] + 0.75 * pts[1:]
+        mid = np.empty((2 * (len(pts) - 1), 2))
+        mid[0::2] = q
+        mid[1::2] = r
+        pts = np.concatenate([pts[:1], mid, pts[-1:]])
+    return pts
+
+
 def _poly_trajectory(waypoints: np.ndarray, n_steps: int) -> np.ndarray:
     """Resample a polyline into [N, 3] poses with tangent headings."""
     d = np.linalg.norm(np.diff(waypoints, axis=0), axis=1)
@@ -64,13 +81,24 @@ def _poly_trajectory(waypoints: np.ndarray, n_steps: int) -> np.ndarray:
     return np.concatenate([xy, heading[:, None]], -1)
 
 
-def loop_trajectory(n_steps: int = 400) -> np.ndarray:
-    """Ground-truth poses [N, 3] around the office loop."""
+def loop_trajectory(n_steps: int = 400, laps: int = 1,
+                    smooth: int = 0) -> np.ndarray:
+    """Ground-truth poses [N, 3] around the office loop.
+
+    ``laps`` repeats the (closed) loop — scale n_steps with it to keep
+    the per-step stride unchanged (longer timed regions for benches
+    without changing the relative odometry noise per update).
+    ``smooth`` applies that many Chaikin corner-cutting rounds (bounded
+    heading rate — required for odometry-free tracking benches)."""
     waypoints = np.array([
         [2.0, 2.0], [13.0, 2.0], [15.0, 8.0], [15.0, 10.5], [17.0, 11.0],
         [28.0, 10.5], [28.0, 18.0], [17.0, 18.0], [15.0, 12.0], [13.0, 10.5],
         [2.0, 10.0], [2.0, 2.5],
     ])
+    if laps > 1:
+        waypoints = np.concatenate([waypoints] * laps)
+    if smooth > 0:
+        waypoints = _chaikin(waypoints, smooth)
     return _poly_trajectory(waypoints, n_steps)
 
 
@@ -165,6 +193,8 @@ class SimConfig:
     odom_rot_noise: float = 0.002    # per-step sigma (rad)
     range_noise: float = 0.01        # lidar range sigma (m)
     world: str = "office"            # "office" | "corridor"
+    laps: int = 1                    # office loop repeats (same stride)
+    smooth: int = 0                  # Chaikin rounds on the office loop
 
 
 @dataclasses.dataclass
@@ -182,7 +212,7 @@ def simulate(cfg: SimConfig = SimConfig()) -> SimData:
         gt = corridor_trajectory(cfg.n_steps)
     else:
         segs = office_world(cfg.seed)
-        gt = loop_trajectory(cfg.n_steps)
+        gt = loop_trajectory(cfg.n_steps, cfg.laps, cfg.smooth)
     spec = cfg.laser
     beam_angles = np.linspace(-spec.fov / 2, spec.fov / 2, spec.n_beams)
 

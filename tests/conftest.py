@@ -28,3 +28,18 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+# The full suite segfaulted twice (r4) in late-suite XLA CPU compiles: the
+# process accumulates every compiled executable across ~200 tests and a
+# late compile's large virtual allocation (~135 GB mmap request, dmesg
+# __vm_enough_memory) is then refused. Dropping compiled-program caches
+# between modules caps the growth; the on-disk compilation cache above
+# makes the re-loads cheap.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
