@@ -655,9 +655,14 @@ def resident_gather(state: SlamMapState, cfg: MappingConfig, org):
                                    slots=slots)
     vis, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
                                    slots=slots)
-    dist, _ = win_mod.gather_window(state.table, state.dist, keys,
-                                    cfg.distance.max_dist, slots=slots)
-    return occ, vis, cfg.dist_to_sq(dist)
+    # convert to the squared domain BEFORE the gather: dist_to_sq is an
+    # exact elementwise bijection on the stored values, so it commutes
+    # with patch selection — and the narrow-dtype gather moves 1 byte
+    # plane instead of f32's 4 on the TPU matmul-gather path
+    dist_sq, _ = win_mod.gather_window(
+        state.table, cfg.dist_to_sq(state.dist), keys,
+        cfg.dist_to_sq(jnp.float32(cfg.distance.max_dist)), slots=slots)
+    return occ, vis, dist_sq
 
 
 def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
