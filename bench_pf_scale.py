@@ -37,7 +37,10 @@ def main():
     from iris_lama_tpu.utils import simulator
     from iris_lama_tpu.utils.cloud import pad_scan, beam_bucket
 
-    n_particles = 512
+    # 512 is the BASELINE #5 scale but costs ~10+ min/mesh-size on the
+    # CPU stand-in; IRIS_PF_SCALE_PARTICLES=128 gives the same strong-
+    # scaling curve in ~1/4 the time
+    n_particles = int(os.environ.get("IRIS_PF_SCALE_PARTICLES", "512"))
     n_updates = 3
     data = simulator.simulate(simulator.SimConfig(
         n_steps=n_updates + 1, seed=5,
@@ -92,6 +95,7 @@ def main():
 
         run_once()                       # compile pass
         times[nd] = run_once()
+        print(f"# mesh {nd}: {times[nd]:.3f} s/update", file=sys.stderr)
 
     eff = {nd: times[1] / (nd * times[nd]) for nd in times}
     print(json.dumps({
