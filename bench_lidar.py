@@ -35,11 +35,11 @@ def main():
     # degrees in one step at waypoint corners — no odometry-free tracker
     # can follow that (measured 76 m/100m = lost lock at the first
     # corner); smoothing is what a real robot's trajectory looks like.
-    # KNOWN GAP (r4, docs/STATUS.md): on CPU this driver holds ~0.8
-    # m/100m even at 0.1 m stride; on the TPU the same program drifts
-    # ~4-5 m/100m here (13-19 at 0.1 m stride) — a backend numeric
-    # difference that survives disabling every TPU-only kernel and
-    # pinning matmul precision; still open.
+    # Backend note (r4, prof_r4_lidar2): per-step results agree across
+    # TPU/CPU to ~1 ulp from a common state; observed drift DIFFERENCES
+    # between backends/runs are chaotic corner sensitivity of the
+    # prior-less tracker, not a numeric defect — hence the median-drift
+    # gate below.
     n_steps = 1600
     data = simulator.simulate(simulator.SimConfig(
         n_steps=n_steps, seed=3, smooth=4,

@@ -57,15 +57,11 @@ def main():
     times = {}
     for nd in (1, 2, 4, 8):
         mesh = pf_sharding.particle_mesh(jax.devices()[:nd])
-        # plain jit: the device_put placements from shard_particles drive
-        # GSPMD (the pinned-in_shardings factory is exercised by
-        # tests/test_pf_slam2d's sharded==unsharded check; pinning here
-        # tripped over eval_shape-vs-live tree placement mismatches)
-        step = jax.jit(
-            lambda pset, key, p, m, o: pf.pf_update_step(
-                opts, pset, key, p, m, o), donate_argnums=(0,))
-        motion = jax.jit(
-            lambda pose, key, od: pf.draw_from_motion(opts, key, od, pose))
+        # the PINNED factories matter: an unconstrained jit lets GSPMD
+        # replicate outputs and all-gather the particle maps every update
+        # (measured: mesh 2 ran 2.5x SLOWER than mesh 1)
+        step = pf_sharding.make_sharded_update(opts, mesh)
+        motion = pf_sharding.make_sharded_motion(opts, mesh)
         key = jax.random.PRNGKey(7)
 
         def run_once():
