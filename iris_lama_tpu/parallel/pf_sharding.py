@@ -74,7 +74,13 @@ def make_sharded_update(opts: pf.PFSlam2DOptions, mesh: Mesh,
     dummy = jax.eval_shape(
         lambda: pf.particles_init(opts, jnp.zeros(4, jnp.float32)))
     in_sh = (shardings_like(dummy), rspec, rspec, rspec, rspec)
-    return jax.jit(step, in_shardings=in_sh, donate_argnums=(0,))
+    # pin OUTPUT shardings too: without them GSPMD may emit a replicated
+    # pose/weight, which both breaks chained sharded calls (the next
+    # update's pinned in_shardings reject the replicated arg) and hides
+    # all-gathers of the particle maps in every step
+    return jax.jit(step, in_shardings=in_sh,
+                   out_shardings=(shardings_like(dummy), rspec),
+                   donate_argnums=(0,))
 
 
 def make_sharded_motion(opts: pf.PFSlam2DOptions, mesh: Mesh,
