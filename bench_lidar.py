@@ -96,6 +96,14 @@ def main():
     bound = 2.0 if jax.default_backend() == "cpu" else 8.0
     assert drift < bound, \
         f"LidarOdometry2D drift regression: {drift:.3f} m/100m"
+    # flag (don't fail on) diverged reps: any rep whose drift exceeds 3x
+    # the median is a corner-lottery divergence of the prior-less tracker
+    # (VERDICT r4 #9 — surfaced explicitly instead of hidden by the median)
+    diverged = [round(d, 3) for d in drifts if d > 3.0 * max(drift, 1e-9)]
+    if diverged:
+        print(f"# WARNING: {len(diverged)}/{len(drifts)} rep(s) diverged "
+              f"(drift > 3x median {drift:.2f}): {diverged}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "lidar_odometry_scans_per_sec",
@@ -112,6 +120,7 @@ def main():
                   # prior, lidar_odometry_2d.cpp:59-81), so the realized
                   # drift varies chaotically with ulp-level perturbations
                   "drifts": [round(r[1], 3) for r in results],
+                  "diverged_reps": diverged,
                   "device": str(jax.devices()[0])},
     }))
 

@@ -427,8 +427,11 @@ def _pf_map_phase(opts: PFSlam2DOptions, org, occ, vis, dist, pose,
 
     if _DEBUG_NO_MAP:
         # Stage-cost stand-in: keep the data dependencies, skip the
-        # deposit/EDT (wrong results — frozen first-scan maps).
-        bump = (pose[:, 0] * 0).astype(vis.dtype) + mask[0].astype(vis.dtype)
+        # deposit/EDT (wrong results — frozen first-scan maps). XLA folds
+        # x*0 (CLAUDE.md), so the pose dependency rides an epsilon-scaled
+        # reduction that truncates to 0 in the u16 cast instead.
+        eps_dep = (jnp.sum(jnp.abs(pose), axis=-1) * 1e-30).astype(vis.dtype)
+        bump = eps_dep + mask[0].astype(vis.dtype)
         return occ, vis + bump[:, None, None], dist
 
     def upd(o, v, d, p):

@@ -189,11 +189,11 @@ def solve_window_lik(grid, org_cell, geo, max_dist, points_xy, mask,
     (particle count); >1 selects the batched whole-solve kernel when the
     batch's grids fit VMEM (ops/gn_batch.py).
     """
+    # no VMEM guard here: gn_batch chunks over VMEM-sized particle groups
+    # internally (gn_batch.group_size), so any batch size is admissible
     if (opts.strategy == "gn" and grid.dtype == jnp.int8
             and opts.robust.kind in ("cauchy", "unit")
             and gn_batch.ENABLED and batch_hint > 1
-            and batch_hint * grid.shape[-1] * grid.shape[-2]
-            <= gn_batch.MAX_GRID_BYTES
             and jax.default_backend() == "tpu"):
         cauchy_c = (opts.robust.param if opts.robust.kind == "cauchy"
                     else 0.0)

@@ -29,8 +29,12 @@ XLA path in the last ulp; the CPU jnp path stays the oracle.
 
 VMEM budget (PF bench shape, P=30, match window 432, 768 beams): grids
 30 x 448 x 512 s8 = 6.9 MB + one [2B, W] i32 eval transient ~3.1 MB +
-one-hot ~0.7 MB — ~11 MB of the ~16 MB/core. P x W x W bytes must stay
-under ~12 MB; callers with bigger pools keep the XLA path.
+one-hot ~0.7 MB — ~11 MB of the ~16 MB/core. Batches that exceed the
+budget (``group_size()``, transient-aware per ADVICE r4 #2) are chunked
+over particle groups and solved by sequential whole-solve launches
+inside one program (lax.map in the vmap rule) — the 512-particle
+BASELINE #5 config runs ~46 particles per launch instead of falling
+back to the run-to-slowest-of-512 XLA while_loop path (VERDICT r4 #1).
 
 Measured numbers live in docs/STATUS.md (r4). IRIS_GN_BATCH=0 restores
 the XLA while_loop path.
@@ -52,10 +56,34 @@ ENABLED = bool(int(os.environ.get("IRIS_GN_BATCH", "1")))
 
 N_ROWS = 8   # tx ty cos sin chi2 iters sum_d2 pad
 _LANES = 128
+_SUBLANES_S8 = 32   # s8 VMEM tile is (32, 128)
 
-# VMEM guard: P * W * H bytes of s8 grids + ~4 MB of eval transients must
-# fit in ~16 MB/core; above this the caller keeps the XLA path.
-MAX_GRID_BYTES = 12 * 1024 * 1024
+# Usable VMEM per launch (core has ~16 MB; leave headroom for Mosaic's
+# own spills). Grids + the eval transients of ONE in-flight particle
+# evaluation must fit; group_size() below computes how many particles
+# that admits per launch, and batches larger than it are chunked into
+# sequential launches inside one program (lax.map in the vmap rule).
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def _pad_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def group_size(h: int, w: int, b: int) -> int:
+    """Particles per kernel launch so that the VMEM-resident grids plus
+    the per-evaluation transients fit the budget (ADVICE r4 #2: the old
+    grids-only 12 MB guard ignored the ~4 MB of transients and could
+    exceed VMEM near the boundary).
+
+    Transients per evaluation (shapes from match_eval._corners): the s8
+    row one-hot [2B, Hp] and its i32 corner dot [2B, Wp]; B is padded to
+    lanes, H to s8 sublanes, W to lanes (VMEM tiling).
+    """
+    hp, wp = _pad_up(h, _SUBLANES_S8), _pad_up(w, _LANES)
+    bk = _pad_up(b, _LANES)
+    transient = 2 * bk * hp + 2 * bk * wp * 4
+    return max(1, (VMEM_BUDGET_BYTES - transient) // (hp * wp))
 
 
 def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
@@ -281,8 +309,35 @@ def _make(max_dist: float, res: float, scale: float, cell_offset: int,
             return a if ab else jnp.broadcast_to(a, (axis_size,) + a.shape)
 
         grid, org, st0 = bc(grid, gb), bc(org, ob), bc(st0, sb)
-        rows = _solve_batched(grid, org, st0, px, py, fm, *statics)
-        return rows.T, True   # [P, N_ROWS]
+        g = group_size(grid.shape[-2], grid.shape[-1], px.shape[-1])
+        if axis_size <= g:
+            rows = _solve_batched(grid, org, st0, px, py, fm, *statics)
+            return rows.T, True   # [P, N_ROWS]
+
+        # VERDICT r4 #1: batches beyond the VMEM budget (the 512-particle
+        # BASELINE #5 config) chunk over particle groups — sequential
+        # whole-solve launches inside ONE program (lax.map), each group's
+        # grids VMEM-resident for its entire IRLS loop. Run-to-slowest is
+        # per ~g-particle group instead of per 512 XLA lanes. Padding
+        # replicates particle 0 (any valid operand) and is sliced off.
+        c = -(-axis_size // g)
+        pad = c * g - axis_size
+
+        def padc(a):
+            if not pad:
+                return a
+            fill = jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])
+            return jnp.concatenate([a, fill])
+
+        grid_c = padc(grid).reshape(c, g, *grid.shape[1:])
+        org_c = padc(org).reshape(c, g, org.shape[-1])
+        st0_c = padc(st0).reshape(c, g, st0.shape[-1])
+        rows = jax.lax.map(
+            lambda t: _solve_batched(t[0], t[1], t[2], px, py, fm,
+                                     *statics),
+            (grid_c, org_c, st0_c))                 # [c, N_ROWS, g]
+        rows = jnp.moveaxis(rows, 1, 2).reshape(c * g, N_ROWS)
+        return rows[:axis_size], True
 
     return ev
 

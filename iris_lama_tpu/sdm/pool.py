@@ -157,6 +157,16 @@ def table_lookup(table: PatchTable, keys):
         # (no match -> 0 -> -1 after the shift; sign-extension undone by
         # the & 0xFF). The where+max formulation materialized the [N, H]
         # select in i32 — 4x the traffic of the i8 equality matrix.
+        # IRIS_POOL_CHECK=1 switches to that slower max formulation, which
+        # degrades gracefully (returns A valid matching slot) if the
+        # one-live-entry-per-key invariant is ever violated by a caller —
+        # the sum would silently produce a garbage slot index. Use it when
+        # debugging pool corruption.
+        if _os.environ.get("IRIS_POOL_CHECK") == "1":
+            eq = flat[:, None] == table.keys[None, :]
+            sp1 = (table.slots + 1).astype(jnp.int32)
+            return (jnp.max(jnp.where(eq, sp1[None, :], 0), axis=-1)
+                    .reshape(shape) - 1)
         eq8 = (flat[:, None] == table.keys[None, :]).astype(jnp.int8)
         sp1 = (table.slots + 1).astype(jnp.int32)
         n_planes = 2 if table.capacity < 0xFFFF else 3

