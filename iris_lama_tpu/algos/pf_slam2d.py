@@ -115,6 +115,11 @@ class PFSlam2DOptions:
     # own program; the step's `escaped` info field is the guard.
     host_reorg: bool = os.environ.get("IRIS_PF_HOST_REORG", "1") != "0"
     host_reorg_slack: float = 1.5   # odometry drift + particle spread (m)
+    # Re-org flush/regather particle group size (0 = never chunk). Chunked
+    # when particles > reorg_chunk and divisible: the all-particle vmap's
+    # patch-blocked transients carry 4x tile padding and OOM HBM at 512
+    # particles (see _make_programs.reorg). 64 keeps transients ~1.5 GB.
+    reorg_chunk: int = int(os.environ.get("IRIS_PF_REORG_CHUNK", "64"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -617,20 +622,57 @@ def _make_programs(opts: PFSlam2DOptions):
     def reorg(pset):
         """Host-triggered re-org: exactly the device cond's body — settle
         lineage, flush every particle's window, re-center on the mean
-        pose, regather."""
+        pose, regather.
+
+        Large particle counts run the flush+regather in groups of
+        ``reorg_chunk`` particles via lax.scan (bit-identical: flush and
+        gather are per-particle independent). The all-particle vmap
+        materializes patch-blocked transients with 4x (8,128)-tile
+        padding — f32[512, 34, 34, 32, 32] alone was 9.0 GB of HLO temp
+        and the whole program OOMed at 20.2/15.75 GB HBM (r5, the
+        BASELINE #5 512-particle config); chunking bounds the transients
+        to the group size while the pool carry is updated in place."""
         cfg = opts.mapping_config()
         geo = cfg.geometry
+        n = pset.lineage.shape[0]
         maps = jax.tree.map(lambda a: a[pset.lineage], pset.maps)
-        maps = jax.vmap(
-            lambda m, o, v, d: mapping.resident_flush(
-                m, cfg, pset.res_org, o, v, d)
-        )(maps, pset.res_occ, pset.res_vis, pset.res_dist)
         p0cell = geo.w2m(pset.pose[:, :2])
         anchor = jnp.mean(p0cell.astype(jnp.float32), axis=0).astype(
             jnp.int32)
         new_org = mapping.resident_org(cfg, anchor)
-        occ, vis, dist = jax.vmap(
-            lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
+
+        g = opts.reorg_chunk
+        if g and n > g and n % g == 0:
+            def body(maps_carry, i):
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(a, i * g, g, 0)
+
+                maps_c = jax.tree.map(sl, maps_carry)
+                maps_c = jax.vmap(
+                    lambda m, o, v, d: mapping.resident_flush(
+                        m, cfg, pset.res_org, o, v, d)
+                )(maps_c, sl(pset.res_occ), sl(pset.res_vis),
+                  sl(pset.res_dist))
+                maps_carry = jax.tree.map(
+                    lambda a, c: jax.lax.dynamic_update_slice_in_dim(
+                        a, c, i * g, 0), maps_carry, maps_c)
+                grids = jax.vmap(
+                    lambda m: mapping.resident_gather(m, cfg, new_org)
+                )(maps_c)
+                return maps_carry, grids
+
+            maps, (occ, vis, dist) = jax.lax.scan(
+                body, maps, jnp.arange(n // g))
+            occ = occ.reshape((n,) + occ.shape[2:])
+            vis = vis.reshape((n,) + vis.shape[2:])
+            dist = dist.reshape((n,) + dist.shape[2:])
+        else:
+            maps = jax.vmap(
+                lambda m, o, v, d: mapping.resident_flush(
+                    m, cfg, pset.res_org, o, v, d)
+            )(maps, pset.res_occ, pset.res_vis, pset.res_dist)
+            occ, vis, dist = jax.vmap(
+                lambda m: mapping.resident_gather(m, cfg, new_org))(maps)
         return pset._replace(
             maps=maps, res_org=new_org, res_occ=occ, res_vis=vis,
             res_dist=dist,
@@ -1120,7 +1162,20 @@ class PFSlam2D:
         self._esc_stash = None
         if esc == 0:
             return
+        # r5 calibration: a FEW escaped particles out of a large filter are
+        # diverged-particle noise (a bad solve throws one particle outside
+        # any affordable window; its update clips, its weight collapses,
+        # resampling removes it — degraded, never fatal). Tightening the
+        # TRAVEL trigger cannot contain spread-caused escapes and only
+        # multiplies re-orgs (measured at 512 particles: 1-10 escapes per
+        # re-org with a 12.5 m allowance, trigger walked 12.5 -> 5 m).
+        # React only when the escape count says the whole cloud is
+        # outrunning the window: > 2% of particles (>= 1 at N <= 50, which
+        # preserves the 30-particle behavior).
         self._esc_seen += 1   # escape events observed
+        if esc <= max(1, int(0.02 * self.options.particles)) \
+                and self.options.particles > 50:
+            return
         self._pf_trigger_m -= max(self.options.host_reorg_slack, 0.25)
         import warnings
         if self._pf_trigger_m >= 0.5:

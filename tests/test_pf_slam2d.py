@@ -277,6 +277,33 @@ def test_pf_detailed_summary_phase_split():
         assert row in rep
 
 
+def test_pf_chunked_reorg_matches_unchunked():
+    """r5: the particle-group-chunked re-org (lax.scan flush/regather,
+    built for the 512-particle HBM budget) is bit-identical to the
+    all-particle vmap re-org."""
+    data = _sim(n_steps=100)
+    a = pf.PFSlam2D(_opts(host_reorg=True, resident_extra_patches=1,
+                          reorg_chunk=4))
+    b = pf.PFSlam2D(_opts(host_reorg=True, resident_extra_patches=1,
+                          reorg_chunk=0))
+    for f in (a, b):
+        f.set_prior(Pose2D(*data.poses_gt[0]))
+        for k in range(len(data.clouds)):
+            f.update(data.clouds[k], data.odometry[k], data.timestamps[k])
+        f._flush_motion()
+    assert a._n_reorgs >= 1, "re-org never fired"
+    assert a._n_reorgs == b._n_reorgs
+    pa, pb = jax.device_get(a.pset), jax.device_get(b.pset)
+    np.testing.assert_array_equal(pa.pose, pb.pose)
+    np.testing.assert_array_equal(pa.res_org, pb.res_org)
+    for name in ("res_occ", "res_vis", "res_dist", "lineage"):
+        np.testing.assert_array_equal(np.asarray(getattr(pa, name)),
+                                      np.asarray(getattr(pb, name)),
+                                      err_msg=name)
+    for la, lb in zip(jax.tree.leaves(pa.maps), jax.tree.leaves(pb.maps)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_pf_host_reorg_matches_device_cond():
     """r3 host-gated PF re-orgs: bitwise-equal particle state and map
     content vs the device-cond update, with zero escaped particles, on a
