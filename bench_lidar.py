@@ -52,8 +52,11 @@ def main():
         staged.append((jnp.asarray(p), jnp.asarray(m), jnp.asarray(o)))
     jax.block_until_ready(staged[-1][0])
 
-    opts = LidarOdometry2DOptions(resolution=0.05, max_range=10.0,
-                                  capacity=4096)
+    # IRIS_LIDAR_PRED=1: opt-in constant-velocity match seeding A/B
+    # (VERDICT r4 #9 stabilizer candidate; default OFF = reference parity)
+    opts = LidarOdometry2DOptions(
+        resolution=0.05, max_range=10.0, capacity=4096,
+        motion_prediction=os.environ.get("IRIS_LIDAR_PRED") == "1")
 
     # ground truth relative to the start pose (odometry-free estimate
     # lives in the first scan's frame)
@@ -115,6 +118,9 @@ def main():
                   "path_len_m": round(path_len, 1),
                   "scans": n_steps,
                   "reps": [round(r[0], 2) for r in results],
+                  "best": round(max(r[0] for r in results), 2),
+                  "spread": round(max(r[0] for r in results)
+                            / max(min(r[0] for r in results), 1e-9), 2),
                   # per-rep drifts: the tracker is marginally stable at
                   # corners (reference algorithm property — no motion
                   # prior, lidar_odometry_2d.cpp:59-81), so the realized

@@ -135,6 +135,9 @@ def main():
                   "updates": n_upd,
                   "path": "sequential" if sequential else "chunked",
                   "reps": [round(r[0], 2) for r in results],
+                  "best": round(max(r[0] for r in results), 2),
+                  "spread": round(max(r[0] for r in results)
+                            / max(min(r[0] for r in results), 1e-9), 2),
                   "device": str(jax.devices()[0])},
     }))
 

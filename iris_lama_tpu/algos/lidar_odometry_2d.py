@@ -44,6 +44,14 @@ class LidarOdometry2DOptions:
     max_beams: int = 0
     capacity: int = 2048
     patch_size: int = 32
+    # Opt-in constant-velocity prediction (r5, VERDICT r4 #9): seed each
+    # scan match at pose_prev * prev_delta instead of pose_prev. The
+    # reference tracker has NO motion prediction (lidar_odometry_2d.cpp:
+    # 59-81) and is marginally stable at corners — per-rep drifts
+    # [4.6, 28.4, 4.6, 4.6, 4.6] m/100 m under 0.1 mm perturbations
+    # (prof_r4_lidar2). Prediction only changes the solver's starting
+    # basin, not the cost optimum; default OFF for reference parity.
+    motion_prediction: bool = False
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -60,7 +68,8 @@ class LidarOdometry2DOptions:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
+def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions,
+               motion_prediction: bool = False):
     """Fused per-scan program, lru-cached across driver instances (fresh
     jit wrappers re-load byte-identical executables — seconds each on the
     remote-TPU runtime)."""
@@ -68,15 +77,21 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
     wp = cfg.window_patches
     max_dist = cfg.distance.max_dist
 
-    def step(state, pose_prev, map_odom, points, mask, origin, traj, k):
+    def step(state, pose_prev, map_odom, points, mask, origin, traj, k,
+             prev_delta):
         # 1. scan match against the local map (lidar_odometry_2d.cpp:63-71)
-        org = win_mod.window_org(geo, geo.w2m(pose_prev[:2]), wp)
+        import iris_lama_tpu.core.lie as _lie
+        seed = (_lie.se2_compose(pose_prev, prev_delta)
+                if motion_prediction else pose_prev)
+        org = win_mod.window_org(geo, geo.w2m(seed[:2]), wp)
         keys = win_mod.window_patch_keys(geo, org, wp)
         grid, _ = win_mod.gather_window(state.table, state.dist, keys,
                                         max_dist)
         res = match.solve_window(grid, org, geo, max_dist, points[:, :2],
-                                 mask, pose_prev, sopts)
+                                 mask, seed, sopts)
         pose = res.state
+        new_delta = (_lie.se2_compose(_lie.se2_inverse(pose_prev), pose)
+                     if motion_prediction else prev_delta)
 
         # 2. map refresh gate on the ESTIMATED motion since the last map
         #    update (.cpp:73-80) — data-dependent, so a device-side cond
@@ -95,8 +110,8 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions):
         state, map_odom = jax.lax.cond(refresh, do_update,
                                        lambda op: op, (state, map_odom))
         traj = traj.at[jnp.minimum(k, traj.shape[0] - 1)].set(pose)
-        return state, pose, map_odom, traj, {"iterations": res.iterations,
-                                             "refresh": refresh}
+        return state, pose, map_odom, traj, new_delta, {
+            "iterations": res.iterations, "refresh": refresh}
 
     def first_step(state, pose0, points, mask, origin):
         new_state, _ = mapping.update_maps(state, cfg, pose0, points, mask,
@@ -125,6 +140,7 @@ class LidarOdometry2D:
         self._map_odom_dev = jnp.asarray(Pose2D().se2_array())
         self._pose_host = Pose2D()
         self._traj = jnp.zeros((self.TRAJ_CAP, 4), jnp.float32)
+        self._delta_dev = jnp.asarray(Pose2D().se2_array())
         self._n_updates = 0
         self._last_info_dev = {}
 
@@ -143,7 +159,8 @@ class LidarOdometry2D:
                          np.arctan2(t[:, 3], t[:, 2])], -1)
 
     def _build(self):
-        self._step, self._first = _make_step(self.cfg, self.sopts)
+        self._step, self._first = _make_step(
+            self.cfg, self.sopts, self.options.motion_prediction)
 
     def update(self, cloud: PointCloudXYZ, timestamp: float = 0.0) -> bool:
         """lidar_odometry_2d.cpp:59-81."""
@@ -168,9 +185,10 @@ class LidarOdometry2D:
             self.has_first_scan = True
             return True
         (self.map, self._pose_dev, self._map_odom_dev, self._traj,
-         info) = self._step(self.map, self._pose_dev, self._map_odom_dev,
-                            points, mask, origin, self._traj,
-                            jnp.int32(self._n_updates))
+         self._delta_dev, info) = self._step(
+            self.map, self._pose_dev, self._map_odom_dev, points, mask,
+            origin, self._traj, jnp.int32(self._n_updates),
+            self._delta_dev)
         self._pose_host = None
         self._last_info_dev = info
         self._n_updates += 1

@@ -33,7 +33,7 @@ from ..core.pose import Pose2D
 from ..match import match_surface_2d as match
 from ..nlls.robust import CAUCHY_SCAN
 from ..nlls.solver import SolverOptions
-from ..ops import gn_batch, gn_solve
+from ..ops import gn_batch, gn_solve, slice_mxu
 from ..sdm import mapping, window as win_mod
 from ..sdm.geometry import MapGeometry
 from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
@@ -361,14 +361,33 @@ def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
     w_res = cfg.resident_window_cells
     ws_m = cfg.match_window_cells
 
-    def match_one(dist_i, pose0):
-        m_org = org
-        if ws_m < w_res:
-            lp = geo.w2m(pose0[:2]) - org
-            start = jnp.clip(lp - ws_m // 2, 0, w_res - ws_m)
-            dist_i = jax.lax.dynamic_slice(dist_i, (start[1], start[0]),
-                                           (ws_m, ws_m))
-            m_org = org + start
+    # Sub-window extraction happens OUTSIDE the per-particle vmap: at
+    # large N the vmapped dynamic_slice lowers to XLA's serialized row
+    # gather (40 ms on device at 512 particles — prof_r5_gnb: 70.7 vs
+    # 31.0 ms for the same solve with pre-sliced grids), so the s8 grids
+    # ride the batched one-hot MXU selection instead (ops/slice_mxu.py,
+    # exact; bench 3.43 -> 3.93 up/s at 512). At 30 particles the slice
+    # was measured ~free (97.4 dynamic_slice vs 95.7 MXU same-day) — the
+    # MXU path only engages above IRIS_SLICE_MXU_N. IRIS_SLICE_MXU=0
+    # restores the slice path everywhere for A/B.
+    if ws_m < w_res:
+        lp = geo.w2m(pset.pose[:, :2]) - org                  # [N, 2]
+        starts = jnp.clip(lp - ws_m // 2, 0, w_res - ws_m)
+        if (dist.dtype == jnp.int8 and slice_mxu.ENABLED
+                and opts.particles > int(os.environ.get(
+                    "IRIS_SLICE_MXU_N", "64"))
+                and jax.default_backend() == "tpu"):
+            dist_m = slice_mxu.slice_windows(dist, starts, ws_m)
+        else:
+            dist_m = jax.vmap(
+                lambda d, s: jax.lax.dynamic_slice(
+                    d, (s[1], s[0]), (ws_m, ws_m)))(dist, starts)
+        m_orgs = org[None, :] + starts
+    else:
+        dist_m = dist
+        m_orgs = jnp.broadcast_to(org, (dist.shape[0], 2))
+
+    def match_one(dist_i, m_org, pose0):
         if _DEBUG_NO_MATCH:
             # Stage-cost stand-in (see sdm/mapping.py): keep the dist-grid
             # and pose dependency, skip the IRLS solve (wrong results).
@@ -398,7 +417,8 @@ def _pf_match_phase(opts: PFSlam2DOptions, pset: ParticleSet, points, mask,
         d = d * mask.astype(jnp.float32)
         return res_state, jnp.sum(-(d * d) / opts.meas_sigma), res_iters
 
-    states, liks, match_iters = jax.vmap(match_one)(dist, pset.pose)
+    states, liks, match_iters = jax.vmap(match_one)(dist_m, m_orgs,
+                                                    pset.pose)
     return (maps, org, occ, vis, dist, lineage), states, liks, \
         match_iters, safe
 
@@ -417,11 +437,22 @@ def _pf_resample_phase(opts: PFSlam2DOptions, pset: ParticleSet, mid, idx,
         lineage = lineage[idx]
         if spill_lineage is not None:
             spill_lineage = spill_lineage[idx]
-        occ, vis, dist = jax.lax.cond(
-            do_resample,
-            lambda ovd: tuple(a[idx] for a in ovd),
-            lambda ovd: ovd,
-            (occ, vis, dist))
+        if opts.particles > int(os.environ.get("IRIS_PF_UNCOND_RESAMPLE_N",
+                                               "64")):
+            # r5: at large N the cond stages the grids through its
+            # branches every update (~21 ms of copies + 10 ms conditional
+            # at 512 particles, devprof) even when no resample fires; an
+            # unconditional gather costs one bandwidth-bound pass
+            # (~7.5 ms) instead. Equal results: ``idx`` is already the
+            # identity when no resample fires (_weights_and_resample).
+            # Small N keeps the cond (r3 measured it neutral at 30).
+            occ, vis, dist = occ[idx], vis[idx], dist[idx]
+        else:
+            occ, vis, dist = jax.lax.cond(
+                do_resample,
+                lambda ovd: tuple(a[idx] for a in ovd),
+                lambda ovd: ovd,
+                (occ, vis, dist))
     return (maps, org, occ, vis, dist, lineage), spill_lineage
 
 
