@@ -37,6 +37,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -76,17 +77,20 @@ class GraphSlam2DOptions:
     loop_closure_max_candidates: int = 10   # graph_slam2d.h:82
     ignore_n_chain_poses: int = 20
     # --- TPU batching knobs (see module docstring freshness contract) ---
-    sync_updates: int = 8    # per-scan mode: accepted scans between syncs
+    sync_updates: int = int(os.environ.get("IRIS_GRAPH_SYNC", "8"))  # per-scan mode: accepted scans between syncs
     sync_scans: int = 32     # chunked replay: raw scans per front-end slice
     # Live micro-chunk (r5, VERDICT r4 #5): the per-scan (ROS-style) path
-    # buffers this many ACCEPTED scans and dispatches them as ONE
-    # straight-line Slam2D unroll program — halving (at 2) the dominant
-    # per-scan dispatch cost at <= live_chunk-1 scans of added latency.
-    # The motion gate is host-side (odometry only), so acceptance is
-    # decided immediately; only the device update is deferred, and every
-    # public read (pose/key_poses/links/optimize/generate_*) flushes the
-    # buffer first. 1 = dispatch every accepted scan (pre-r5 behavior).
-    live_chunk: int = 2
+    # can buffer this many ACCEPTED scans and dispatch them as ONE
+    # straight-line Slam2D unroll program at <= live_chunk-1 scans of
+    # added latency. The motion gate stays host-side (odometry only), so
+    # acceptance is decided immediately; public reads flush the buffer.
+    # MEASURED NEGATIVE, default stays 1: same-session A/B on the live
+    # bench gave 231.2 scans/s (chunk 1, reps 221-235) vs 201.5 (chunk 2,
+    # reps 179-204) — after r4's zero-blocking-pull pipelining the live
+    # wall is not dispatch count, and the flush path's per-pair staging
+    # (host stacks + the chunk-driver entry) costs more than the saved
+    # dispatch. Kept as an opt-in for slower-dispatch environments.
+    live_chunk: int = int(os.environ.get("IRIS_GRAPH_LIVE_CHUNK", "1"))
 
 
 class KeyPose(NamedTuple):
