@@ -54,6 +54,20 @@ from .gn_solve import _sin_cos, _exp_compose, _solve3_scalar
 # default ON (measured ~2x at PF); IRIS_GN_BATCH=0 to fall back
 ENABLED = bool(int(os.environ.get("IRIS_GN_BATCH", "1")))
 
+# r5 experiment knobs (VERDICT r4 #2 levers):
+# IRIS_GN_WAYS: independent particles interleaved per inner trip (the
+#   r4 pair interleave = 2). 3-way needs smaller per-eval transients to
+#   fit VMEM -> combine with IRIS_GN_BSPLIT=2.
+# IRIS_GN_BSPLIT: beam-axis split per evaluation: the corner one-hot/dot
+#   transients shrink by the factor (two sequential half-B matmuls);
+#   reduction association changes within the kernel's documented
+#   last-ulp contract (sums accumulate across chunks).
+# Defaults 3/2 (r5): same-session A/B on the PF bench measured 97.18
+# (ways 2, no split) / 98.08 (2, split 2) / 98.30 (3, split 2) up/s —
+# the halved transients let a third in-flight particle overlap, ~+1.2%.
+WAYS = int(os.environ.get("IRIS_GN_WAYS", "3"))
+BSPLIT = int(os.environ.get("IRIS_GN_BSPLIT", "2"))
+
 N_ROWS = 8   # tx ty cos sin chi2 iters sum_d2 pad
 _LANES = 128
 _SUBLANES_S8 = 32   # s8 VMEM tile is (32, 128)
@@ -81,15 +95,20 @@ def group_size(h: int, w: int, b: int) -> int:
     lanes, H to s8 sublanes, W to lanes (VMEM tiling).
     """
     hp, wp = _pad_up(h, _SUBLANES_S8), _pad_up(w, _LANES)
-    bk = _pad_up(b, _LANES)
-    transient = 2 * bk * hp + 2 * bk * wp * 4
+    bk = _pad_up(b, _LANES * BSPLIT)
+    # per-eval transient shrinks with the beam split; the ``ways``
+    # interleave reuses (Mosaic-scheduled) buffers across the in-flight
+    # particles at the measured default, so it is not multiplied here —
+    # raising WAYS above 2 without BSPLIT>=2 risks Mosaic VMEM overflow
+    # (the r4 3-way attempt did exactly that).
+    transient = (2 * bk * hp + 2 * bk * wp * 4) // BSPLIT
     return max(1, (VMEM_BUDGET_BYTES - transient) // (hp * wp))
 
 
 def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
             st_s, sums_s, stop_s, it_s, nact_s, *,
             max_dist, res, scale, cell_offset, cauchy_c, eps1, eps2,
-            max_iter, want_lik):
+            max_iter, want_lik, ways=2, bsplit=1):
     from jax.experimental import pallas as pl
 
     p_n = g_ref.shape[0]
@@ -104,23 +123,35 @@ def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
     # particle loops are lax.fori_loop (dynamic ref indexing), NOT Python
     # unrolls: a 30x-unrolled body with nested conds blew Mosaic's compile
     # time past 9 minutes; the rolled form compiles in normal time.
+    bs = px.shape[-1] // bsplit   # beam sub-chunk (padded to a multiple)
+
     def sums_at(p, tx, ty, c, s, cc):
-        # lie.se2_apply + geometry.w2m_frac (floor + integer offset)
-        hx = tx + c * px - s * py
-        hy = ty + s * px + c * py
-        mfx = hx * scl
-        mfy = hy * scl
-        flx = jnp.floor(mfx)
-        fly = jnp.floor(mfy)
-        lx = flx.astype(jnp.int32) + off - org_ref[p, 0]
-        ly = fly.astype(jnp.int32) + off - org_ref[p, 1]
-        mux = mfx - flx
-        muy = mfy - fly
+        # lie.se2_apply + geometry.w2m_frac (floor + integer offset);
+        # evaluated in ``bsplit`` beam chunks (sums accumulate across
+        # chunks — the per-chunk transients are 1/bsplit the size)
         g = g_ref[pl.dslice(p, 1)][0]
-        v00, v10, v01, v11 = match_eval._corners(ly, lx, g, h, w)
-        return match_eval._eval_math(ly, lx, v00, v10, v01, v11, mux, muy,
-                                     hx, hy, fm, h, w, max_dist, res,
-                                     scale, cc)
+        total = None
+        for j in range(bsplit):
+            pxj = px[j * bs:(j + 1) * bs]
+            pyj = py[j * bs:(j + 1) * bs]
+            fmj = fm[j * bs:(j + 1) * bs]
+            hx = tx + c * pxj - s * pyj
+            hy = ty + s * pxj + c * pyj
+            mfx = hx * scl
+            mfy = hy * scl
+            flx = jnp.floor(mfx)
+            fly = jnp.floor(mfy)
+            lx = flx.astype(jnp.int32) + off - org_ref[p, 0]
+            ly = fly.astype(jnp.int32) + off - org_ref[p, 1]
+            mux = mfx - flx
+            muy = mfy - fly
+            v00, v10, v01, v11 = match_eval._corners(ly, lx, g, h, w)
+            sj = match_eval._eval_math(ly, lx, v00, v10, v01, v11, mux,
+                                       muy, hx, hy, fmj, h, w, max_dist,
+                                       res, scale, cc)
+            total = sj if total is None else [a + b for a, b in
+                                              zip(total, sj)]
+        return total
 
     # ---- init: evaluate every particle at its start state -------------
     def init_one(p, carry):
@@ -191,24 +222,26 @@ def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
                     nact_s[0, 0] = nact_s[0, 0] - 1
         return carry
 
-    # two independent particles per inner trip: their eval chains have no
-    # data dependence, so Mosaic can overlap one particle's one-hot/VPU
-    # work with the other's MXU corner dot (a single-particle body is a
-    # serial matmul->reduce->scalar chain that leaves units idle)
-    half = (p_n + 1) // 2
+    # ``ways`` independent particles per inner trip: their eval chains
+    # have no data dependence, so Mosaic can overlap one particle's
+    # one-hot/VPU work with another's MXU corner dot (a single-particle
+    # body is a serial matmul->reduce->scalar chain that leaves units
+    # idle). 2-way bought 7.5% in r4; 3-way fits VMEM only with
+    # bsplit>=2 shrinking the per-eval transients.
+    stride = (p_n + ways - 1) // ways
 
-    def particle_pair(i, carry):
+    def particle_group(i, carry):
         particle_step(i, carry)
-
-        @pl.when(i + half < p_n)
-        def _():
-            particle_step(i + half, carry)
+        for k in range(1, ways):
+            @pl.when(i + k * stride < p_n)
+            def _(k=k):
+                particle_step(i + k * stride, carry)
         return carry
 
     def trip(_, carry):
         @pl.when(nact_s[0, 0] > 0)
         def _():
-            jax.lax.fori_loop(0, half, particle_pair, jnp.int32(0))
+            jax.lax.fori_loop(0, stride, particle_group, jnp.int32(0))
         return carry
 
     jax.lax.fori_loop(0, max_iter, trip, jnp.int32(0))
@@ -237,12 +270,13 @@ def _kernel(org_ref, st0_ref, px_ref, py_ref, fm_ref, g_ref, out_ref,
     jax.lax.fori_loop(0, p_n, emit_one, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(6, 16)))
+@functools.partial(jax.jit, static_argnums=tuple(range(6, 18)))
 def _solve_batched(grid, org, st0, px, py, fm,
                    max_dist: float, res: float, scale: float,
                    cell_offset: int, cauchy_c: float, eps1: float,
                    eps2: float, max_iter: int, want_lik: bool,
-                   interpret: bool = False):
+                   interpret: bool = False, ways: int = 2,
+                   bsplit: int = 1):
     """grid s8[P, H, W], org i32[P, 2], st0 f32[P, 4], px/py/fm f32[B]
     (shared across particles) -> f32[N_ROWS, P] result rows."""
     from jax.experimental import pallas as pl
@@ -250,7 +284,8 @@ def _solve_batched(grid, org, st0, px, py, fm,
 
     p, h, w = grid.shape
     b = px.shape[-1]
-    bk = (b + _LANES - 1) // _LANES * _LANES
+    mult = _LANES * bsplit   # each beam sub-chunk stays lane-aligned
+    bk = (b + mult - 1) // mult * mult
     if bk != b:
         zf = jnp.zeros((bk - b,), jnp.float32)
         px = jnp.concatenate([px, zf])
@@ -262,7 +297,7 @@ def _solve_batched(grid, org, st0, px, py, fm,
         functools.partial(_kernel, max_dist=max_dist, res=res, scale=scale,
                           cell_offset=cell_offset, cauchy_c=cauchy_c,
                           eps1=eps1, eps2=eps2, max_iter=max_iter,
-                          want_lik=want_lik),
+                          want_lik=want_lik, ways=ways, bsplit=bsplit),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # org
             pl.BlockSpec(memory_space=pltpu.SMEM),   # st0
@@ -288,10 +323,10 @@ def _solve_batched(grid, org, st0, px, py, fm,
 @functools.lru_cache(maxsize=None)
 def _make(max_dist: float, res: float, scale: float, cell_offset: int,
           cauchy_c: float, eps1: float, eps2: float, max_iter: int,
-          want_lik: bool, impl: str):
+          want_lik: bool, impl: str, ways: int, bsplit: int):
     interpret = impl == "interpret"
     statics = (max_dist, res, scale, cell_offset, cauchy_c, eps1, eps2,
-               max_iter, want_lik, interpret)
+               max_iter, want_lik, interpret, ways, bsplit)
 
     @jax.custom_batching.custom_vmap
     def ev(grid, org, st0, px, py, fm):
@@ -359,8 +394,9 @@ def solve_window_sq(grid, org_cell, state0, points_xy, mask, *,
     rows = _make(float(max_dist), float(res), float(scale),
                  int(cell_offset), float(cauchy_c), float(eps1),
                  float(eps2), int(max_iter), bool(want_lik),
-                 impl)(grid, org_cell, state0, points_xy[..., 0],
-                       points_xy[..., 1], fm)
+                 impl, WAYS, BSPLIT)(grid, org_cell, state0,
+                                     points_xy[..., 0],
+                                     points_xy[..., 1], fm)
     state = rows[..., 0:4] if rows.ndim == 2 else rows[0:4]
     if rows.ndim == 2:
         return (state, rows[..., 5].astype(jnp.int32), rows[..., 4],

@@ -118,6 +118,10 @@ def test_chunked_groups_match_single_launch(monkeypatch):
                           [-0.1, 0.2, np.cos(-0.08), np.sin(-0.08)],
                           [0.05, 0.1, 1.0, 0.0]], jnp.float32)
     orgs = jnp.broadcast_to(ORG, (3, 2))
+    # pin the env-tunable kernel knobs BEFORE the reference launch: the
+    # chunk-vs-single comparison must run one kernel variant
+    monkeypatch.setattr(gn_batch, "BSPLIT", 1)
+    monkeypatch.setattr(gn_batch, "WAYS", 2)
 
     def kern(g, o, st):
         return _kernel_solve(g, o, pts, mask, st, want_lik=True)
