@@ -120,6 +120,17 @@ class PFSlam2DOptions:
     # patch-blocked transients carry 4x tile padding and OOM HBM at 512
     # particles (see _make_programs.reorg). 64 keeps transients ~1.5 GB.
     reorg_chunk: int = int(os.environ.get("IRIS_PF_REORG_CHUNK", "64"))
+    # Scroll ("band") re-orgs (r5, mapping.resident_scroll): at the same
+    # wander-allowance deadline as the full re-org, dispatch a band
+    # re-org — kp-patch edge-band flush/gather + a roll (bit-identical
+    # window content) — instead of flushing + regathering all wp^2
+    # patches. kp=0 auto-sizes the band to cover the allowance shift
+    # (driver init). Firing scrolls EARLY at a short travel trigger was
+    # measured WORSE (office 88.9 vs 98.3 up/s: a scroll costs ~14 ms vs
+    # the full re-org's ~63, but a 1.6 m trigger fired 9x more often).
+    # Disabled when the spill tier is active (it consumes full flushes).
+    scroll_reorg: bool = os.environ.get("IRIS_PF_SCROLL", "1") != "0"
+    scroll_kp: int = int(os.environ.get("IRIS_PF_SCROLL_KP", "0"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -709,6 +720,54 @@ def _make_programs(opts: PFSlam2DOptions):
             res_dist=dist,
             lineage=jnp.arange(pset.lineage.shape[0], dtype=jnp.int32))
 
+    def scroll(pset):
+        """Host-triggered scroll re-org (mapping.resident_scroll): settle
+        lineage, then re-center the window toward the mean pose touching
+        only kp-patch edge bands per particle. The target org is clamped
+        to +-kp patches (a clamped scroll under-centers; the escape guard
+        covers the rare case where travel outruns the trigger)."""
+        cfg = opts.mapping_config()
+        geo = cfg.geometry
+        kp = opts.scroll_kp
+        length = geo.patch_length
+        n = pset.lineage.shape[0]
+        maps = jax.tree.map(lambda a: a[pset.lineage], pset.maps)
+        p0cell = geo.w2m(pset.pose[:, :2])
+        anchor = jnp.mean(p0cell.astype(jnp.float32), axis=0).astype(
+            jnp.int32)
+        target = mapping.resident_org(cfg, anchor)
+        shift = jnp.clip(target - pset.res_org, -kp * length, kp * length)
+        new_org = pset.res_org + shift
+
+        def one(m, o, v, d):
+            return mapping.resident_scroll(m, cfg, pset.res_org, o, v, d,
+                                           new_org, kp)
+
+        g = opts.reorg_chunk
+        if g and n > g and n % g == 0:
+            def body(_, i):
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(a, i * g, g, 0)
+
+                maps_c = jax.tree.map(sl, maps)
+                m2, o2, v2, d2 = jax.vmap(one)(
+                    maps_c, sl(pset.res_occ), sl(pset.res_vis),
+                    sl(pset.res_dist))
+                return None, (m2, (o2, v2, d2))
+
+            _, (maps2, grids) = jax.lax.scan(body, None,
+                                             jnp.arange(n // g))
+            maps2 = jax.tree.map(
+                lambda a: a.reshape((n,) + a.shape[2:]), maps2)
+            occ, vis, dist = (a.reshape((n,) + a.shape[2:]) for a in grids)
+        else:
+            maps2, occ, vis, dist = jax.vmap(one)(
+                maps, pset.res_occ, pset.res_vis, pset.res_dist)
+        return pset._replace(
+            maps=maps2, res_org=new_org, res_occ=occ, res_vis=vis,
+            res_dist=dist,
+            lineage=jnp.arange(pset.lineage.shape[0], dtype=jnp.int32))
+
     @functools.lru_cache(maxsize=None)
     def make_unroll(c: int, q: int):
         """C accepted updates per dispatch, STRAIGHT-LINE: each update is
@@ -792,6 +851,7 @@ def _make_programs(opts: PFSlam2DOptions):
         make_unroll,
         split,
         jax.jit(reorg, donate_argnums=(0,)),
+        jax.jit(scroll, donate_argnums=(0,)),
     )
 
 
@@ -832,6 +892,10 @@ class PFSlam2D:
         # rebuilds with the device-cond step when no safe trigger remains.
         self._esc_stash = None
         self._esc_seen = 0
+        self._esc_last_t = -1e9   # last harvest snapshot (monotonic s)
+        self._esc_clean = 0       # consecutive escape-free harvests
+        self._pf_trigger0 = 0.0   # initial trigger (recovery ceiling)
+        self._pf_scroll_m = 0.0   # scroll-re-org trigger (0 = disabled)
         if options.host_reorg and options.resident_window:
             cfg = options.mapping_config()
             cells = (cfg.resident_window_cells // 2
@@ -839,9 +903,24 @@ class PFSlam2D:
                      - cfg.geometry.patch_length)
             self._pf_trigger_m = (cells * cfg.geometry.resolution
                                   - options.host_reorg_slack)
+            self._pf_trigger0 = self._pf_trigger_m
             if self._pf_trigger_m < 0.5:
                 self.options = options = dataclasses.replace(
                     options, host_reorg=False)
+            elif options.scroll_reorg and not options.use_compression:
+                # scrolls fire at the SAME deadline as full re-orgs; the
+                # band must cover the allowance shift plus slack
+                patch_m = (cfg.geometry.patch_length
+                           * cfg.geometry.resolution)
+                kp_need = int(np.ceil(
+                    (self._pf_trigger_m + options.host_reorg_slack)
+                    / patch_m)) + 1
+                wp = cfg.resident_window_patches
+                if options.scroll_kp == 0 and kp_need < wp // 2:
+                    self.options = options = dataclasses.replace(
+                        options, scroll_kp=kp_need)
+                if 0 < options.scroll_kp < wp // 2:
+                    self._pf_scroll_m = self._pf_trigger_m
         # per-particle spill tier (use_compression parity:
         # /root/reference/src/pf_slam2d.cpp:201-204 — the compressor bounds
         # every particle's live map memory)
@@ -863,7 +942,7 @@ class PFSlam2D:
     def _build(self):
         (self._jit_motion, self._jit_update, self._jit_first,
          self._jit_chunk, self._make_unroll, self._jit_split,
-         self._jit_reorg) = _make_programs(self.options)
+         self._jit_reorg, self._jit_scroll) = _make_programs(self.options)
 
     def update(self, cloud: PointCloudXYZ, odometry: Pose2D,
                timestamp: float = 0.0) -> bool:
@@ -1123,7 +1202,7 @@ class PFSlam2D:
             if (opts.host_reorg and self._odom_reorg is not None
                     and float(np.linalg.norm(
                         (self._odom_reorg - odoms[k]).xy()))
-                    >= self._pf_trigger_m):
+                    >= self._pf_effective_trigger()):
                 flush_pend()           # staged updates precede the re-org
                 self._pf_maybe_reorg(odoms[k])
             accepted.append(k)
@@ -1162,6 +1241,13 @@ class PFSlam2D:
             self.pset, self.key = self._jit_motion(self.pset, self.key,
                                                    od, valids)
 
+    def _pf_effective_trigger(self) -> float:
+        """Travel distance that dispatches the next re-org (the scroll
+        trigger when scrolling is enabled and safe, else the full one)."""
+        if 0 < self._pf_scroll_m < self._pf_trigger_m:
+            return self._pf_scroll_m
+        return self._pf_trigger_m
+
     def _pf_maybe_reorg(self, odometry: Pose2D) -> None:
         """Host-gated re-org: one standalone dispatch once odometry has
         travelled the wander allowance minus slack. The window centers on
@@ -1170,13 +1256,29 @@ class PFSlam2D:
         if self._odom_reorg is None:
             return
         d = float(np.linalg.norm((self._odom_reorg - odometry).xy()))
-        if d < self._pf_trigger_m:
+        if d < self._pf_effective_trigger():
             return
         self._pf_harvest_escapes()
-        self.pset = self._jit_reorg(self.pset)
+        cfg = self.options.mapping_config()
+        patch_m = cfg.geometry.patch_length * cfg.geometry.resolution
+        if (self._pf_scroll_m > 0
+                and d + self.options.host_reorg_slack
+                <= self.options.scroll_kp * patch_m):
+            self.pset = self._jit_scroll(self.pset)
+        else:
+            self.pset = self._jit_reorg(self.pset)
         self._odom_reorg = odometry
         self._n_reorgs += 1
-        if self.options.host_reorg:
+        from .slam2d import _ESC_HARVEST, _ESC_INTERVAL_S
+        if (self.options.host_reorg and _ESC_HARVEST
+                and time.monotonic() - self._esc_last_t >= _ESC_INTERVAL_S):
+            # rate-limited: copy_to_host_async is NOT actually async over
+            # the axon tunnel — consuming a stash pays a real ~30 ms
+            # round trip, which at corridor re-org cadence cost 30-40% of
+            # Slam2D throughput (r5 A/B: 494 vs 839 scans/s). One harvest
+            # per _ESC_INTERVAL_S bounds the tax at < 1% while keeping the
+            # guard's reaction latency at a few seconds.
+            self._esc_last_t = time.monotonic()
             esc = self._last_info_dev.get("escaped")
             if esc is not None and hasattr(esc, "copy_to_host_async"):
                 esc.copy_to_host_async()
@@ -1192,8 +1294,22 @@ class PFSlam2D:
         esc = int(np.asarray(self._esc_stash))   # per-update particle count
         self._esc_stash = None
         if esc == 0:
+            # recovery: after 4 consecutive clean harvests walk the
+            # trigger back toward its initial value (a transient
+            # divergence should not permanently multiply re-orgs)
+            self._esc_clean += 1
+            if (self._esc_clean >= 4
+                    and self._pf_trigger_m < self._pf_trigger0):
+                self._esc_clean = 0
+                self._pf_trigger_m = min(
+                    self._pf_trigger0,
+                    self._pf_trigger_m
+                    + max(self.options.host_reorg_slack, 0.25))
+                if self._pf_scroll_m > 0:
+                    self._pf_scroll_m = self._pf_trigger_m
             return
-        # r5 calibration: a FEW escaped particles out of a large filter are
+        self._esc_clean = 0
+        # r5 calibration: a FEW escaped particles out of the filter are
         # diverged-particle noise (a bad solve throws one particle outside
         # any affordable window; its update clips, its weight collapses,
         # resampling removes it — degraded, never fatal). Tightening the
@@ -1201,13 +1317,17 @@ class PFSlam2D:
         # multiplies re-orgs (measured at 512 particles: 1-10 escapes per
         # re-org with a 12.5 m allowance, trigger walked 12.5 -> 5 m).
         # React only when the escape count says the whole cloud is
-        # outrunning the window: > 2% of particles (>= 1 at N <= 50, which
-        # preserves the 30-particle behavior).
+        # outrunning the window: > max(1, 2% of particles). Applying the
+        # tolerance at EVERY filter size matters: the r5 "preserve 30p
+        # behavior" carve-out let lone diverged corridor particles walk
+        # the trigger 12.9 -> 0.5 m over ~3000 scans and collapse the
+        # whole filter into the device-cond step (~24 vs ~90 scans/s).
         self._esc_seen += 1   # escape events observed
-        if esc <= max(1, int(0.02 * self.options.particles)) \
-                and self.options.particles > 50:
+        if esc <= max(1, int(0.02 * self.options.particles)):
             return
         self._pf_trigger_m -= max(self.options.host_reorg_slack, 0.25)
+        if self._pf_scroll_m > 0:   # scroll deadline tracks the trigger
+            self._pf_scroll_m = self._pf_trigger_m
         import warnings
         if self._pf_trigger_m >= 0.5:
             warnings.warn(

@@ -33,6 +33,18 @@ from ..sdm.geometry import MapGeometry
 from ..utils.cloud import PointCloudXYZ, pad_scan, beam_bucket
 from ..utils.summary import Summary
 
+# IRIS_ESC_HARVEST=0: diagnostic — skip the per-re-org escaped-counter
+# harvest (the async d2h snapshot + its blocking read at the next re-org).
+# The r5 corridor bisect traced the r4 corridor regression to exactly
+# this machinery (bdf122f): copy_to_host_async is NOT asynchronous over
+# the axon tunnel, so every harvest pays a real ~30 ms round trip — at
+# corridor re-org cadence 30-40% of Slam2D throughput (A/B 494 vs 839
+# scans/s). Harvests are therefore rate-limited to one per
+# IRIS_ESC_INTERVAL seconds (default 5): the guard's reaction latency
+# becomes a few seconds, its cost < 1%.
+_ESC_HARVEST = os.environ.get("IRIS_ESC_HARVEST", "1") != "0"
+_ESC_INTERVAL_S = float(os.environ.get("IRIS_ESC_INTERVAL", "5"))
+
 
 @dataclasses.dataclass(frozen=True)
 class Slam2DOptions:
@@ -89,6 +101,13 @@ class Slam2DOptions:
     host_reorg: bool = os.environ.get("IRIS_SLAM_HOST_REORG", "1") != "0"
     # odometry drift allowance (m) between re-orgs for the host trigger
     host_reorg_slack: float = 1.0
+    # Scroll ("band") re-orgs (r5, mapping.resident_scroll): at the full
+    # re-org's deadline, flush/gather only kp-patch edge bands + roll —
+    # bit-identical window content at a fraction of the patch traffic.
+    # kp=0 auto-sizes to the wander allowance. Non-transient, non-spill
+    # maps only (transient pruning semantics need the full flush).
+    scroll_reorg: bool = os.environ.get("IRIS_SLAM_SCROLL", "1") != "0"
+    scroll_kp: int = int(os.environ.get("IRIS_SLAM_SCROLL_KP", "0"))
 
     def mapping_config(self) -> mapping.MappingConfig:
         log2dim = int(np.log2(self.patch_size))
@@ -400,6 +419,24 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
         occ, vis, dist = mapping.resident_gather(state, cfg, new_org)
         return state, new_org, occ, vis, dist
 
+    @functools.lru_cache(maxsize=None)
+    def make_scroll(kp: int):
+        """Band re-org (mapping.resident_scroll): bit-identical window
+        content, kp-patch edge bands instead of the wp^2 flush+regather.
+        The target org is clamped to +-kp patches (driver guarantees the
+        shift fits via the dispatch guard)."""
+        length = cfg.geometry.patch_length
+
+        def scroll(state, org, occ, vis, dist, pose_dev):
+            target = mapping.resident_org(cfg, geo.w2m(pose_dev[:2]))
+            shift = jnp.clip(target - org, -kp * length, kp * length)
+            new_org = org + shift
+            state, occ, vis, dist = mapping.resident_scroll(
+                state, cfg, org, occ, vis, dist, new_org, kp)
+            return state, new_org, occ, vis, dist
+
+        return jax.jit(scroll, donate_argnums=(0, 2, 3, 4))
+
     def split_map(state, org, occ, vis, dist, pose, points, mask, origin,
                   traj, k):
         """Map half of the opt-in two-program detailed-summary mode."""
@@ -420,7 +457,8 @@ def _make_step_resident(cfg: mapping.MappingConfig, sopts: SolverOptions):
             jax.jit(split_map),
             jax.jit(nopool_step, donate_argnums=(0, 2, 3, 4, 10, 11)),
             make_unroll_nopool,
-            jax.jit(reorg, donate_argnums=(0, 2, 3, 4)))
+            jax.jit(reorg, donate_argnums=(0, 2, 3, 4)),
+            make_scroll)
 
 
 class Slam2D:
@@ -452,6 +490,7 @@ class Slam2D:
         self._res_vis = None
         self._res_dist = None
         self._res_dirty = False
+        self._scroll_kp = 0
         self._flush = None
         # pose lives on device; host copy is refreshed lazily
         self._pose_dev = jnp.asarray(Pose2D().se2_array())
@@ -470,6 +509,8 @@ class Slam2D:
         # step (always correct).
         self._esc_stash = None
         self._esc_seen = 0
+        self._esc_last_t = -1e9   # last snapshot time (monotonic s)
+        self._esc_clean = 0       # consecutive escape-free harvests
         self._extra_slack = 0.0
         # host spill tier (use_compression: LRU compress-on-evict parity)
         self._spill = None
@@ -658,17 +699,30 @@ class Slam2D:
         if d < self._reorg_trigger_m:
             return
         self._harvest_escapes()
+        patch_m = (self.cfg.geometry.patch_length
+                   * self.cfg.geometry.resolution)
+        if (self._scroll_kp
+                and d + self.options.host_reorg_slack
+                <= self._scroll_kp * patch_m):
+            prog = self._make_scroll(self._scroll_kp)
+        else:
+            prog = self._reorg
         (self._map, self._res_org, self._res_occ, self._res_vis,
-         self._res_dist) = self._reorg(
+         self._res_dist) = prog(
             self._map, self._res_org, self._res_occ, self._res_vis,
             self._res_dist, self._pose_dev)
         self._odom_reorg = odometry
         self._n_reorgs += 1
-        self._res_dirty = False   # pool and window are in sync right now
-        if self._host_reorg:
-            # start the async counter copy harvested at the NEXT re-org
-            # (jnp.add makes a fresh buffer: the live one is donated by
-            # the next step dispatch)
+        if prog is self._reorg:
+            self._res_dirty = False   # pool and window are in sync now
+        # (a scroll leaves interior pool copies stale: _res_dirty stays)
+        if (self._host_reorg and _ESC_HARVEST
+                and time.monotonic() - self._esc_last_t >= _ESC_INTERVAL_S):
+            # rate-limited snapshot, harvested at a later re-org (the
+            # read pays a real ~30 ms tunnel round trip — see
+            # _ESC_HARVEST note). jnp.add makes a fresh buffer: the live
+            # one is donated by the next step dispatch.
+            self._esc_last_t = time.monotonic()
             snap = jnp.add(self._esc_dev, 0)
             snap.copy_to_host_async()
             self._esc_stash = snap
@@ -680,11 +734,21 @@ class Slam2D:
         remains, fall back to the always-correct device-cond step."""
         if self._esc_stash is None:
             return
-        esc = int(np.asarray(self._esc_stash))   # async copy already done
+        esc = int(np.asarray(self._esc_stash))   # cumulative counter
         self._esc_stash = None
         if esc <= self._esc_seen:
+            # recovery: 4 consecutive clean harvests release one
+            # tightening step (a transient excursion should not
+            # permanently multiply re-orgs)
+            self._esc_clean += 1
+            if self._esc_clean >= 4 and self._extra_slack > 0:
+                self._esc_clean = 0
+                self._extra_slack = max(
+                    0.0, self._extra_slack
+                    - max(self.options.host_reorg_slack, 0.25))
             return
         self._esc_seen = esc
+        self._esc_clean = 0
         self._extra_slack += max(self.options.host_reorg_slack, 0.25)
         import warnings
         if self._reorg_trigger_m >= 0.5:
@@ -781,7 +845,8 @@ class Slam2D:
             (self._step, self._first, self._flush, self._chunk,
              self._make_unroll, self._split_solve, self._split_map,
              self._step_np, self._make_unroll_np,
-             self._reorg) = _make_step_resident(self.cfg, self.sopts)
+             self._reorg, self._make_scroll) = _make_step_resident(
+                 self.cfg, self.sopts)
             # host-gated re-orgs need enough wander allowance for the
             # odometry trigger to be conservative (transient maps are
             # eligible since the prune went cond-free; the spill tier
@@ -789,12 +854,25 @@ class Slam2D:
             self._host_reorg = (self.options.host_reorg
                                 and self._spill is None
                                 and self._reorg_trigger_m >= 0.5)
+            # scroll (band) re-orgs: non-transient resident maps whose
+            # allowance shift fits inside a < wp/2 patch band
+            self._scroll_kp = 0
+            if (self._host_reorg and self.options.scroll_reorg
+                    and not self.options.transient_map):
+                patch_m = (self.cfg.geometry.patch_length
+                           * self.cfg.geometry.resolution)
+                kp = self.options.scroll_kp or (int(np.ceil(
+                    (self._reorg_trigger_m + self.options.host_reorg_slack)
+                    / patch_m)) + 1)
+                if kp < self.cfg.resident_window_patches // 2:
+                    self._scroll_kp = kp
         else:
             self._step, self._first = _make_step(self.cfg, self.sopts)
             self._chunk = None
             self._make_unroll = None
             self._split_solve = self._split_map = None
             self._host_reorg = False
+            self._scroll_kp = 0
 
     def update_many_prepadded(self, staged, odoms,
                               chunk: int = 32) -> list:

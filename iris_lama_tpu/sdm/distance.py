@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,11 @@ from .geometry import MapGeometry
 from . import pool as pool_mod
 
 _BIG = jnp.int32(1 << 20)
+
+# IRIS_EDT_T=1: run edt2d's horizontal pass on the transposed grid (shift
+# rounds ride the sublane axis instead of lane-crossing concats). Bit-exact;
+# default off until the TPU A/B says otherwise.
+_EDT_T = os.environ.get("IRIS_EDT_T") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,9 +136,25 @@ def edt2d(obstacle, max_sqdist: int, radius: int):
         shift <<= 1
 
     # --- horizontal pass: d2 = min_dx dx^2 + g[y, x+dx]^2 -------------------
+    cap = jnp.asarray(max_sqdist, dt)
+    if _EDT_T:
+        # transposed variant (IRIS_EDT_T=1): the horizontal shifts walk the
+        # minor (lane) dimension, which XLA lowers as lane-crossing
+        # concatenates; transposing once moves all `radius` shift+min
+        # rounds onto the sublane axis (same integer min/add per element —
+        # bit-exact), at the cost of two transposes.
+        g2 = (g * g).T
+        d2 = g2
+        for dx in range(1, radius + 1):
+            dx2 = jnp.asarray(dx * dx, dt)
+            left = jnp.concatenate([g2[dx:], jnp.full((dx, g2.shape[1]),
+                                                      cap, dt)], axis=0)
+            right = jnp.concatenate([jnp.full((dx, g2.shape[1]), cap, dt),
+                                     g2[:-dx]], axis=0)
+            d2 = jnp.minimum(d2, jnp.minimum(left, right) + dx2)
+        return jnp.minimum(d2.T, cap).astype(jnp.int32)
     g2 = g * g
     d2 = g2
-    cap = jnp.asarray(max_sqdist, dt)
     for dx in range(1, radius + 1):
         dx2 = jnp.asarray(dx * dx, dt)
         left = jnp.concatenate([g2[:, dx:], jnp.full((g.shape[0], dx), cap,

@@ -673,10 +673,18 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
     are rewritten wholesale (the grids are authoritative, so no old-value
     merge is needed); missing no-content patches are dropped.
     """
-    geo = cfg.geometry
-    length = geo.patch_length
     wp = cfg.resident_window_patches
-    keys = win_mod.window_patch_keys(geo, org, wp)
+    keys = win_mod.window_patch_keys(cfg.geometry, org, wp)
+    return _flush_grids(state, cfg, keys, occ, vis, dist)
+
+
+def _flush_grids(state: SlamMapState, cfg: MappingConfig, keys,
+                 occ, vis, dist) -> SlamMapState:
+    """Rectangular core of :func:`resident_flush`: write dense grids
+    covering the patch grid ``keys`` [a, b] (cell grids [a*L, b*L]) back
+    into the pool. Also serves the scroll re-org's band flushes."""
+    length = cfg.geometry.patch_length
+    a, b = keys.shape
     slots = pool_mod.table_lookup(state.table, keys)
 
     if jnp.issubdtype(dist.dtype, jnp.integer):   # squared-distance domain
@@ -690,12 +698,12 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
         has_occ = occ != 0.0
     content = has_occ | (vis > 0) | has_dist
     content_patch = jnp.any(
-        content.reshape(wp, length, wp, length).transpose(0, 2, 1, 3),
+        content.reshape(a, length, b, length).transpose(0, 2, 1, 3),
         axis=(2, 3))
     need_new = jnp.logical_and(content_patch, slots < 0)
     cand = jnp.where(need_new, keys, jnp.int32(-1)).reshape(-1)
     table, new_slots = pool_mod.table_insert_unique(state.table, cand)
-    slots = jnp.where(need_new, new_slots.reshape(wp, wp), slots)
+    slots = jnp.where(need_new, new_slots.reshape(a, b), slots)
 
     if cfg.transient:
         # pool-path parity: a transient-reset window patch is *deleted*
@@ -715,6 +723,112 @@ def resident_flush(state: SlamMapState, cfg: MappingConfig, org,
                                      vis.astype(OCC_DTYPE))
     new_dist = win_mod.scatter_window(state.dist, slots, dist)
     return SlamMapState(table, occupied, visited, new_dist)
+
+
+def resident_scroll(state: SlamMapState, cfg: MappingConfig, org,
+                    occ, vis, dist, new_org, kp: int):
+    """Band ("scroll") re-org: move the resident window from ``org`` to
+    ``new_org``, touching only ``kp``-patch edge bands instead of flushing
+    and regathering all ``wp**2`` patches.
+
+    Preconditions (caller-enforced): both orgs patch-aligned and
+    ``|new_org - org| <= kp * L`` cells per axis (clamp the target org);
+    ``cfg.transient`` is False (transient pruning semantics need the full
+    flush).
+
+    Steps: (1) flush the trailing K-band on each axis (a superset of the
+    exiting patches — flushing a staying patch merely syncs its pool copy
+    early; the window remains authoritative), (2) roll the grids so
+    surviving cells keep their exact values (no pool round trip at all —
+    the full re-org's flush(sq->m)->gather(m->sq) round trip is an exact
+    bijection, so results are bit-identical), (3) gather the leading
+    K-bands at the new org and merge ONLY the truly-entering cells (the
+    rest of the band keeps the rolled — authoritative — content).
+
+    The pool's copies of interior window patches go stale until those
+    patches exit; extraction APIs must settle + full-flush first (they
+    already do — the resident grids are primary by design).
+
+    Returns (state, occ, vis, dist).
+    """
+    geo = cfg.geometry
+    length = geo.patch_length
+    wp = cfg.resident_window_patches
+    w = wp * length
+    from .geometry import PKEY_BITS
+
+    shift = jnp.asarray(new_org, jnp.int32) - jnp.asarray(org, jnp.int32)
+    sx, sy = shift[0], shift[1]                            # cells
+    org_p = jnp.asarray(org, jnp.int32) >> geo.log2dim
+    ar = jnp.arange(kp, dtype=jnp.int32)
+    aw = jnp.arange(wp, dtype=jnp.int32)
+
+    def band(g, y0c, x0c, h, wd):
+        return jax.lax.dynamic_slice(g, (y0c, x0c), (h, wd))
+
+    # ---- 1. flush the trailing (exit-side) bands ---------------------------
+    ry0 = jnp.where(sy > 0, 0, wp - kp)                    # patch row start
+    rx0 = jnp.where(sx > 0, 0, wp - kp)
+    row_keys = (((org_p[0] + aw)[None, :] << PKEY_BITS)
+                | (org_p[1] + ry0 + ar)[:, None])          # [kp, wp]
+    state = _flush_grids(state, cfg, row_keys,
+                         band(occ, ry0 * length, 0, kp * length, w),
+                         band(vis, ry0 * length, 0, kp * length, w),
+                         band(dist, ry0 * length, 0, kp * length, w))
+    col_keys = (((org_p[0] + rx0 + ar)[None, :] << PKEY_BITS)
+                | (org_p[1] + aw)[:, None])                # [wp, kp]
+    state = _flush_grids(state, cfg, col_keys,
+                         band(occ, 0, rx0 * length, w, kp * length),
+                         band(vis, 0, rx0 * length, w, kp * length),
+                         band(dist, 0, rx0 * length, w, kp * length))
+
+    # ---- 2. roll surviving content into its new-local position ------------
+    occ = jnp.roll(occ, shift=(-sy, -sx), axis=(0, 1))
+    vis = jnp.roll(vis, shift=(-sy, -sx), axis=(0, 1))
+    dist = jnp.roll(dist, shift=(-sy, -sx), axis=(0, 1))
+
+    # ---- 3. gather + merge the leading (enter-side) bands ------------------
+    new_org_p = jnp.asarray(new_org, jnp.int32) >> geo.log2dim
+    max_sq = cfg.dist_to_sq(jnp.float32(cfg.distance.max_dist))
+    dist_pool_sq = cfg.dist_to_sq(state.dist)
+
+    def gather_band(keys):
+        slots = pool_mod.table_lookup(state.table, keys)
+        o, _ = win_mod.gather_window(state.table, state.occupied, keys, 0,
+                                     slots=slots)
+        v, _ = win_mod.gather_window(state.table, state.visited, keys, 0,
+                                     slots=slots)
+        d, _ = win_mod.gather_window(state.table, dist_pool_sq, keys,
+                                     max_sq, slots=slots)
+        return o, v, d
+
+    def merge(g, b, m, y0c, x0c, h, wd):
+        cur = band(g, y0c, x0c, h, wd)
+        return jax.lax.dynamic_update_slice(
+            g, jnp.where(m, b.astype(g.dtype), cur), (y0c, x0c))
+
+    # a new-local row r maps to old-local r + sy; entering iff outside
+    # [0, w) there: r >= w - sy (sy > 0) or r < -sy (sy < 0)
+    ly0 = jnp.where(sy > 0, wp - kp, 0)
+    rows_c = ly0 * length + jnp.arange(kp * length, dtype=jnp.int32)
+    m_row = ((rows_c >= w - sy) | (rows_c < -sy))[:, None]
+    rk = (((new_org_p[0] + aw)[None, :] << PKEY_BITS)
+          | (new_org_p[1] + ly0 + ar)[:, None])
+    ob, vb, db = gather_band(rk)
+    occ = merge(occ, ob, m_row, ly0 * length, 0, kp * length, w)
+    vis = merge(vis, vb, m_row, ly0 * length, 0, kp * length, w)
+    dist = merge(dist, db, m_row, ly0 * length, 0, kp * length, w)
+
+    lx0 = jnp.where(sx > 0, wp - kp, 0)
+    cols_c = lx0 * length + jnp.arange(kp * length, dtype=jnp.int32)
+    m_col = ((cols_c >= w - sx) | (cols_c < -sx))[None, :]
+    ck = (((new_org_p[0] + lx0 + ar)[None, :] << PKEY_BITS)
+          | (new_org_p[1] + aw)[:, None])
+    ob, vb, db = gather_band(ck)
+    occ = merge(occ, ob, m_col, 0, lx0 * length, w, kp * length)
+    vis = merge(vis, vb, m_col, 0, lx0 * length, w, kp * length)
+    dist = merge(dist, db, m_col, 0, lx0 * length, w, kp * length)
+    return state, occ, vis, dist
 
 
 def resident_update(cfg: MappingConfig, org, occ, vis, dist, pose,

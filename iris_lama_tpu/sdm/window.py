@@ -117,20 +117,20 @@ def gather_window(table, arr, keys, default, slots=None):
     particle — measured 50.3 ms vs 0.59 ms for 3 gathers at 30 particles,
     prof12. Row gather also keeps the pool dtype end-to-end.)
     """
-    wp = keys.shape[0]
+    ap, bp = keys.shape            # [patch rows, patch cols] (square or band)
     length = arr.shape[-1]
     if slots is None:
-        slots = pool_mod.table_lookup(table, keys)         # [wp, wp]
+        slots = pool_mod.table_lookup(table, keys)         # [ap, bp]
     if _GATHER_MXU and jax.default_backend() == "tpu":
         rows = _gather_rows_mxu(arr.reshape(arr.shape[0], -1),
                                 slots.reshape(-1), default)
-        blocks = rows.reshape(wp, wp, length, length)
+        blocks = rows.reshape(ap, bp, length, length)
     else:
         safe = jnp.where(slots >= 0, slots, arr.shape[0] - 1).reshape(-1)
-        blocks = arr[safe].reshape(wp, wp, length, length)
+        blocks = arr[safe].reshape(ap, bp, length, length)
         blocks = jnp.where((slots >= 0)[:, :, None, None], blocks,
                            jnp.asarray(default, arr.dtype))
-    return blocks.transpose(0, 2, 1, 3).reshape(wp * length, wp * length), \
+    return blocks.transpose(0, 2, 1, 3).reshape(ap * length, bp * length), \
         slots
 
 
@@ -148,14 +148,14 @@ def scatter_window(arr, slots, grid, write_mask=None):
     XLA's serialized scatter lowering, unique ones keep it parallel — and
     the trash slot stays clean as a bonus.
     """
-    wp = slots.shape[0]
+    ap, bp = slots.shape
     length = arr.shape[-1]
-    blocks = grid.reshape(wp, length, wp, length).transpose(0, 2, 1, 3)
-    nb = wp * wp
-    oob = arr.shape[0] + jnp.arange(nb, dtype=jnp.int32).reshape(wp, wp)
+    blocks = grid.reshape(ap, length, bp, length).transpose(0, 2, 1, 3)
+    nb = ap * bp
+    oob = arr.shape[0] + jnp.arange(nb, dtype=jnp.int32).reshape(ap, bp)
     target = jnp.where(slots >= 0, slots, oob)
     if write_mask is not None:
-        mblocks = write_mask.reshape(wp, length, wp,
+        mblocks = write_mask.reshape(ap, length, bp,
                                      length).transpose(0, 2, 1, 3)
         patch_has = jnp.any(mblocks, axis=(2, 3))
         target = jnp.where(patch_has, target, oob)
