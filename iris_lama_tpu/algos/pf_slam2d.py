@@ -115,11 +115,14 @@ class PFSlam2DOptions:
     # own program; the step's `escaped` info field is the guard.
     host_reorg: bool = os.environ.get("IRIS_PF_HOST_REORG", "1") != "0"
     host_reorg_slack: float = 1.5   # odometry drift + particle spread (m)
-    # Re-org flush/regather particle group size (0 = never chunk). Chunked
-    # when particles > reorg_chunk and divisible: the all-particle vmap's
-    # patch-blocked transients carry 4x tile padding and OOM HBM at 512
-    # particles (see _make_programs.reorg). 64 keeps transients ~1.5 GB.
-    reorg_chunk: int = int(os.environ.get("IRIS_PF_REORG_CHUNK", "64"))
+    # Re-org flush/regather particle group size (0 = never chunk, -1 =
+    # auto). Chunking bounds the patch-blocked transients (4x tile
+    # padding) that OOMed HBM at 512 particles x 2048-patch pools; but it
+    # also serializes the re-org into scan trips — at 512 x 512-patch
+    # pools the UNchunked re-org measured 318 vs 353 ms (bench 4.42 vs
+    # 4.16 up/s). Auto chunks at 64 only when the total pool payload
+    # exceeds ~3 GB.
+    reorg_chunk: int = int(os.environ.get("IRIS_PF_REORG_CHUNK", "-1"))
     # Scroll ("band") re-orgs (r5, mapping.resident_scroll): at the same
     # wander-allowance deadline as the full re-org, dispatch a band
     # re-org — kp-patch edge-band flush/gather + a roll (bit-identical
@@ -859,6 +862,11 @@ class PFSlam2D:
     """Host driver; mirrors the reference public API (pf_slam2d.h:188-254)."""
 
     def __init__(self, options: PFSlam2DOptions = PFSlam2DOptions()):
+        if options.reorg_chunk < 0:    # auto (see the option's docstring)
+            pool_bytes = (options.particles * options.capacity
+                          * options.patch_size ** 2 * 9)   # u16+u16+f32+s8
+            options = dataclasses.replace(
+                options, reorg_chunk=64 if pool_bytes > 3 << 30 else 0)
         self.options = options
         seed = options.seed if options.seed != 0 else int(
             time.time_ns() % (2 ** 31))
@@ -894,6 +902,7 @@ class PFSlam2D:
         self._esc_seen = 0
         self._esc_last_t = -1e9   # last harvest snapshot (monotonic s)
         self._esc_clean = 0       # consecutive escape-free harvests
+        self._esc_strikes = 0     # consecutive bursty harvests
         self._pf_trigger0 = 0.0   # initial trigger (recovery ceiling)
         self._pf_scroll_m = 0.0   # scroll-re-org trigger (0 = disabled)
         if options.host_reorg and options.resident_window:
@@ -1297,6 +1306,7 @@ class PFSlam2D:
             # recovery: after 4 consecutive clean harvests walk the
             # trigger back toward its initial value (a transient
             # divergence should not permanently multiply re-orgs)
+            self._esc_strikes = 0
             self._esc_clean += 1
             if (self._esc_clean >= 4
                     and self._pf_trigger_m < self._pf_trigger0):
@@ -1316,19 +1326,38 @@ class PFSlam2D:
         # TRAVEL trigger cannot contain spread-caused escapes and only
         # multiplies re-orgs (measured at 512 particles: 1-10 escapes per
         # re-org with a 12.5 m allowance, trigger walked 12.5 -> 5 m).
-        # React only when the escape count says the whole cloud is
-        # outrunning the window: > max(1, 2% of particles). Applying the
-        # tolerance at EVERY filter size matters: the r5 "preserve 30p
-        # behavior" carve-out let lone diverged corridor particles walk
-        # the trigger 12.9 -> 0.5 m over ~3000 scans and collapse the
-        # whole filter into the device-cond step (~24 vs ~90 scans/s).
+        # React only when the escape count says the whole CLOUD is
+        # outrunning the window — a diverged tail is normal and harmless
+        # (an escaped particle's clipped writes degrade only its own map,
+        # and resampling kills it; the reference has no window at all, so
+        # zero-escape is not reference semantics). Measured tails: 1/30 on
+        # the corridor (walked the trigger 12.9 -> 0.5 m and collapsed the
+        # filter into the device-cond step, ~24 vs ~90 scans/s), 19-86/512
+        # on the office at a 4.4 m allowance (err stayed 1.1 mm). The
+        # tolerance is therefore a FRACTION: react above 25% escaped.
         self._esc_seen += 1   # escape events observed
-        if esc <= max(1, int(0.02 * self.options.particles)):
+        if esc <= max(1, int(0.25 * self.options.particles)):
             return
+        # Burst reaction ladder (r5): a large escape count is usually a
+        # TRANSIENT divergence burst (e.g. 86/512 particles at one office
+        # corner — resampling cleaned it and the run finished at 1 mm),
+        # and a harvest always runs immediately before a re-org dispatch,
+        # so the cloud is being recentered RIGHT NOW anyway. Walking the
+        # travel trigger down on the first burst turned one transient into
+        # a permanent device-cond collapse (1.45 vs 4.4 up/s measured);
+        # only three consecutive bursty harvests escalate.
+        import warnings
+        self._esc_strikes = getattr(self, "_esc_strikes", 0) + 1
+        if self._esc_strikes < 3:
+            warnings.warn(
+                f"PFSlam2D host-gated re-org: {esc} particle-update(s) "
+                f"escaped the resident safe zone (strike "
+                f"{self._esc_strikes}/3); recentering")
+            return
+        self._esc_strikes = 0
         self._pf_trigger_m -= max(self.options.host_reorg_slack, 0.25)
         if self._pf_scroll_m > 0:   # scroll deadline tracks the trigger
             self._pf_scroll_m = self._pf_trigger_m
-        import warnings
         if self._pf_trigger_m >= 0.5:
             warnings.warn(
                 f"PFSlam2D host-gated re-org: {esc} particle-update(s) "
