@@ -98,6 +98,61 @@ def test_scroll_matches_full_reorg():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_driver_scroll_parity():
+    """PFSlam2D with scroll re-orgs must be bit-identical to full
+    re-orgs: both recenter at the same deadline and a re-org (either
+    kind) is a semantic no-op on window content."""
+    import jax
+
+    from iris_lama_tpu.algos import pf_slam2d as pf
+    from iris_lama_tpu.core.pose import Pose2D
+    from iris_lama_tpu.utils import simulator
+
+    data = simulator.simulate(simulator.SimConfig(
+        n_steps=80, seed=3,
+        laser=simulator.LaserSpec(n_beams=120, max_range=8.0),
+        odom_trans_noise=0.02, odom_rot_noise=0.004))
+
+    def run(scroll):
+        opts = pf.PFSlam2DOptions(
+            particles=6, resolution=0.1, patch_size=16, max_range=8.0,
+            capacity=1024, trans_thresh=0.3, rot_thresh=0.3, max_iter=30,
+            seed=7, resident_extra_patches=2, scroll_reorg=scroll)
+        slam = pf.PFSlam2D(opts)
+        slam.set_prior(Pose2D(*data.poses_gt[0]))
+        est = []
+        for k in range(len(data.clouds)):
+            if slam.update(data.clouds[k], data.odometry[k],
+                           data.timestamps[k]):
+                est.append(np.asarray(slam.pset.pose))
+        return np.asarray(est), slam
+
+    e_full, s_full = run(False)
+    e_scroll, s_scroll = run(True)
+    assert s_scroll.options.scroll_kp > 0 and s_scroll._pf_scroll_m > 0
+    assert s_scroll._n_reorgs > 0
+    np.testing.assert_array_equal(e_full, e_scroll)
+
+    m_f = s_full.particle_map(0)
+    m_s = s_scroll.particle_map(0)
+    geo = s_full.options.mapping_config().geometry
+    xs = np.arange(-80, 120, dtype=np.int32)
+    cells = jnp.asarray(np.stack(np.meshgrid(xs, xs), axis=-1)
+                        .reshape(-1, 2))
+
+    def probe(m):
+        keys = geo.m2p(cells)
+        slots = pool_mod.table_lookup(m.table, keys)
+        local = geo.m2local(cells)
+        safe = jnp.where(slots >= 0, slots, m.occupied.shape[0] - 1)
+        pick = lambda a: jnp.where(
+            slots >= 0, a[safe, local[..., 1], local[..., 0]], 0)
+        return np.asarray(pick(m.occupied)), np.asarray(pick(m.visited))
+
+    for a, b in zip(probe(m_f), probe(m_s)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_scroll_zero_and_negative_shift():
     cfg = _cfg()
     geo = cfg.geometry
