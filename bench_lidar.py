@@ -53,7 +53,14 @@ def main():
     jax.block_until_ready(staged[-1][0])
 
     # IRIS_LIDAR_PRED=1: opt-in constant-velocity match seeding A/B
-    # (VERDICT r4 #9 stabilizer candidate; default OFF = reference parity)
+    # (VERDICT r4 #9 stabilizer candidate; default OFF = reference parity).
+    # A/B RECORDED (r5): prediction is a NEGATIVE — it speeds matching
+    # (1087 vs 873 scans/s: better seeds, fewer IRLS trips) but WORSENS
+    # drift on this marginally-stable prior-less tracker (median 23.5 vs
+    # 4.6 m/100 m with the extrapolation clamp; unclamped it NaN'd 3/5
+    # reps via empty-window singular solves). The corner-lottery chaos
+    # (prof_r4_lidar2) flips against any seed perturbation; OFF stays
+    # the default and the right choice, not just the parity choice.
     opts = LidarOdometry2DOptions(
         resolution=0.05, max_range=10.0, capacity=4096,
         motion_prediction=os.environ.get("IRIS_LIDAR_PRED") == "1")

@@ -81,8 +81,21 @@ def _make_step(cfg: mapping.MappingConfig, sopts: SolverOptions,
              prev_delta):
         # 1. scan match against the local map (lidar_odometry_2d.cpp:63-71)
         import iris_lama_tpu.core.lie as _lie
-        seed = (_lie.se2_compose(pose_prev, prev_delta)
-                if motion_prediction else pose_prev)
+        if motion_prediction:
+            # clamp the constant-velocity extrapolation: one diverged
+            # step otherwise throws the next seed outside the local map
+            # (empty window -> singular normal equations -> NaN pose;
+            # measured as NaN drifts on 3/5 bench reps before the clamp)
+            t_norm = jnp.sqrt(prev_delta[0] ** 2 + prev_delta[1] ** 2)
+            t_scale = jnp.minimum(1.0, 0.3 / jnp.maximum(t_norm, 1e-9))
+            ang = jnp.arctan2(prev_delta[3], prev_delta[2])
+            ang = jnp.clip(ang, -0.3, 0.3)
+            pd = jnp.stack([prev_delta[0] * t_scale,
+                            prev_delta[1] * t_scale,
+                            jnp.cos(ang), jnp.sin(ang)])
+            seed = _lie.se2_compose(pose_prev, pd)
+        else:
+            seed = pose_prev
         org = win_mod.window_org(geo, geo.w2m(seed[:2]), wp)
         keys = win_mod.window_patch_keys(geo, org, wp)
         grid, _ = win_mod.gather_window(state.table, state.dist, keys,
