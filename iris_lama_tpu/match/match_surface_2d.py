@@ -12,6 +12,8 @@ source is either a dense pose-centered window (hot path) or the patch pool
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -170,8 +172,26 @@ def _solve_window_fused(grid, org_cell, geo, max_dist, points_xy, mask,
 
         return jax.lax.cond(stop_now, converged, take_step, None)
 
+    # IRIS_MATCH_UNROLL=k (trace-time, like solver._irls_mode): chain k
+    # cond-guarded IRLS steps per while trip. Semantics are EXACTLY k
+    # while-loop trips (each sub-step re-checks `cond` before running, so
+    # a mid-chain stop leaves the carry untouched); what changes is the
+    # per-trip loop overhead count — the r5 budget puts the office Slam2D
+    # wall in the fused-eval while body's launch-to-launch latency
+    # (~0.9 ms/scan at median 3 iterations vs 0.37 converged,
+    # docs/BUDGET.md). Default 1 = the plain loop.
+    k = int(os.environ.get("IRIS_MATCH_UNROLL", "1"))
+    if k > 1:
+        def body_k(c):
+            c = body(c)
+            for _ in range(k - 1):
+                c = jax.lax.cond(cond(c), body, lambda x: x, c)
+            return c
+        loop_body = body_k
+    else:
+        loop_body = body
     final = jax.lax.while_loop(
-        cond, body, (state0, s0, jnp.bool_(False), jnp.int32(0)))
+        cond, loop_body, (state0, s0, jnp.bool_(False), jnp.int32(0)))
     state, s, _, it = final
     zero = jnp.float32(0)
     return nlls_solver.SolveResult(state=state, iterations=it, chi2=s[9],

@@ -202,11 +202,20 @@ def solve(eval_fn: Callable, update_fn: Callable, state0,
             return c, None
         final, _ = jax.lax.scan(scan_body, carry0, None,
                                 length=opts.max_iterations)
-    elif _irls_mode() == "unroll2":
-        def body2(c):
+    elif _irls_mode().startswith("unroll"):
+        # "unroll<k>": chain k cond-guarded IRLS steps per while trip —
+        # semantics are EXACTLY k while trips (each sub-step re-checks
+        # `cond`, so a mid-chain stop leaves the carry untouched); what
+        # shrinks is the count of while-trip boundaries (cond reductions
+        # + loop re-entry latency). Same-result contract asserted by
+        # tests/test_solver.py::test_irls_modes_identical.
+        k = int(_irls_mode()[len("unroll"):])
+        def body_k(c):
             c = body(c)
-            return jax.lax.cond(cond(c), body, lambda x: x, c)
-        final = jax.lax.while_loop(cond, body2, carry0)
+            for _ in range(k - 1):
+                c = jax.lax.cond(cond(c), body, lambda x: x, c)
+            return c
+        final = jax.lax.while_loop(cond, body_k, carry0)
     else:
         final = jax.lax.while_loop(cond, body, carry0)
     return SolveResult(state=final.state, iterations=final.it,

@@ -104,3 +104,28 @@ def test_fused_solve_matches_generic():
     assert int(out.iterations) == int(ref.iterations)
     np.testing.assert_allclose(float(out.chi2), float(ref.chi2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_solve_unroll_identical(monkeypatch):
+    """IRIS_MATCH_UNROLL=k is bit-identical to the plain fused loop (the
+    k-chain re-checks `cond` before every sub-step, so semantics are
+    exactly k while trips)."""
+    rng = np.random.default_rng(3)
+    grid, pts, mask = _world(rng, 200)
+    org = jnp.asarray([ORG0, ORG0], jnp.int32)
+    state0 = jnp.asarray([0.25, -0.15, np.cos(0.05), np.sin(0.05)],
+                         jnp.float32)
+    opts = nlls_solver.SolverOptions(max_iterations=40, strategy="gn",
+                                     robust=CAUCHY_SCAN)
+    base = match._solve_window_fused(grid, org, GEO, MAXD, pts, mask,
+                                     state0, opts)
+    assert int(base.iterations) >= 2
+    for k in ("2", "3", "4"):
+        monkeypatch.setenv("IRIS_MATCH_UNROLL", k)
+        out = match._solve_window_fused(grid, org, GEO, MAXD, pts, mask,
+                                        state0, opts)
+        np.testing.assert_array_equal(np.asarray(out.state),
+                                      np.asarray(base.state))
+        assert int(out.iterations) == int(base.iterations)
+        np.testing.assert_array_equal(np.asarray(out.chi2),
+                                      np.asarray(base.chi2))

@@ -225,7 +225,7 @@ def test_irls_modes_identical(monkeypatch):
 
     for strategy in ("gn", "lm"):
         base = run("while", strategy)
-        for mode in ("scan", "unroll2"):
+        for mode in ("scan", "unroll2", "unroll4"):
             other = run(mode, strategy)
             np.testing.assert_array_equal(np.asarray(base.state),
                                           np.asarray(other.state))
