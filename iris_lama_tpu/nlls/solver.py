@@ -46,7 +46,17 @@ from .robust import RobustCost, UNIT
 # asserted by tests/test_solver.py::test_irls_modes_identical). Read at
 # TRACE time — already-compiled (lru-cached) programs keep their mode.
 def _irls_mode() -> str:
-    return os.environ.get("IRIS_IRLS_MODE", "while")
+    # default unroll2 (r5): at batch=1 the while trip boundary itself is
+    # the office Slam2D wall (docs/BUDGET.md — ~0.9 ms/scan in-loop vs
+    # 0.37 converged); chaining 2 cond-guarded steps per trip halves the
+    # boundaries. Interleaved same-session bench.py A/B
+    # (prof_r5_irlsmode.py): while 666/756 vs unroll2 1032/901 scans/s
+    # (+36% mean); unroll4 696/917 (inconsistent — compile bloat eats the
+    # next halving). Bit-identical results in all modes
+    # (tests/test_solver.py::test_irls_modes_identical); the vmapped PF
+    # regime measured while==scan==unroll2 in r2 (89-90 up/s), so the
+    # flip is batch=1-motivated and batch-neutral.
+    return os.environ.get("IRIS_IRLS_MODE", "unroll2")
 
 
 @dataclasses.dataclass(frozen=True)
